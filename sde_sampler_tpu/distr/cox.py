@@ -1,0 +1,144 @@
+"""Log-Gaussian Cox process posterior on the 40x40 pine-sapling grid.
+
+Parity with /root/reference/sde_sampler/distr/cox.py (1600-d target,
+exponential-kernel Gram matrix with Cholesky factor computed at setup,
+whitened and unwhitened posterior densities, reference log Z = 512.6 from a
+long-run SMC chain in the DDS paper).
+
+The Gram/Cholesky setup runs once on host in float64 for stability; the
+per-sample density is pure jax.numpy and jit/vmap-friendly on TPU.
+"""
+from __future__ import annotations
+
+from pathlib import Path
+
+import jax.numpy as jnp
+import numpy as np
+
+from .base import DATA_DIR, Distribution
+
+
+def read_points(file_path) -> np.ndarray:
+    import pandas
+
+    df = pandas.read_csv(file_path)
+    return np.vstack([np.array(df["data_x"]), np.array(df["data_y"])]).T
+
+
+def get_bin_counts(points: np.ndarray, num_bins_per_dim: int) -> np.ndarray:
+    scaled = points * num_bins_per_dim
+    idx = np.floor(scaled).astype(int)
+    # Points exactly on the upper/rightmost edge belong to the last bin.
+    idx = np.minimum(idx, num_bins_per_dim - 1)
+    counts = np.zeros((num_bins_per_dim, num_bins_per_dim))
+    np.add.at(counts, (idx[:, 0], idx[:, 1]), 1.0)
+    return counts
+
+
+def get_bin_vals(num_bins: int) -> np.ndarray:
+    grid = np.arange(num_bins)
+    return np.array([[a, b] for a in grid for b in grid], dtype=np.float64)
+
+
+def exponential_kernel(
+    x: np.ndarray, y: np.ndarray, signal_variance: float,
+    num_grid_per_dim: int, raw_length_scale: float,
+) -> np.ndarray:
+    dist = np.linalg.norm(x[:, None, :] - y[None, :, :], axis=2)
+    dist = dist / (num_grid_per_dim * raw_length_scale)
+    return signal_variance * np.exp(-dist)
+
+
+class Cox(Distribution):
+    def __init__(
+        self,
+        dim: int = 1600,
+        data_path: str | Path = DATA_DIR / "pines.csv",
+        use_whitened: bool = False,
+    ):
+        # log Z from long-run SMC (DDS paper), reference cox.py:94-96
+        super().__init__(dim=dim, log_norm_const=512.6)
+        self.use_whitened = use_whitened
+        self.num_bins_per_dim = int(np.sqrt(dim))
+        assert self.num_bins_per_dim**2 == self.dim
+
+        self.signal_variance = 1.91
+        self._poisson_a = 1.0 / self.dim
+        self._beta = 1.0 / 33
+        self.white_gaussian_log_normalizer = float(
+            -0.5 * self.dim * np.log(2.0 * np.pi)
+        )
+        self.mu_zero = float(np.log(126.0) - 0.5 * self.signal_variance)
+
+        bin_counts = get_bin_counts(
+            read_points(Path(data_path)), self.num_bins_per_dim
+        )
+        bin_vals = get_bin_vals(self.num_bins_per_dim)
+        gram = exponential_kernel(
+            bin_vals, bin_vals, self.signal_variance,
+            self.num_bins_per_dim, self._beta,
+        )
+        cholesky_np = np.linalg.cholesky(gram)
+        self.cholesky_gram = jnp.asarray(cholesky_np, dtype=jnp.float32)
+        self.flat_bin_counts = jnp.asarray(
+            bin_counts.flatten(), dtype=jnp.float32
+        )
+        half_log_det = float(np.sum(np.log(np.abs(np.diag(cholesky_np)))))
+        self.unwhitened_gaussian_log_normalizer = (
+            -0.5 * self.dim * float(np.log(2.0 * np.pi)) - half_log_det
+        )
+
+    # -- density pieces ----------------------------------------------------
+    def _latents_from_white(self, white: jnp.ndarray) -> jnp.ndarray:
+        return white @ self.cholesky_gram.T + self.mu_zero
+
+    def _white_from_latents(self, latents: jnp.ndarray) -> jnp.ndarray:
+        from jax.scipy.linalg import solve_triangular
+
+        white = solve_triangular(
+            self.cholesky_gram, (latents - self.mu_zero).T, lower=True
+        )
+        return white.T
+
+    def _poisson_log_likelihood(self, latent: jnp.ndarray) -> jnp.ndarray:
+        first = latent * self.flat_bin_counts[None]
+        second = -self._poisson_a * jnp.exp(latent)
+        return jnp.sum(first + second, axis=1)
+
+    def whitened_posterior_log_density(self, white: jnp.ndarray) -> jnp.ndarray:
+        quadratic = -0.5 * jnp.sum(white**2, axis=1)
+        prior = self.white_gaussian_log_normalizer + quadratic
+        latent = self._latents_from_white(white)
+        return prior + self._poisson_log_likelihood(latent)
+
+    def unwhitened_posterior_log_density(self, latents: jnp.ndarray) -> jnp.ndarray:
+        white = self._white_from_latents(latents)
+        prior = (
+            -0.5 * jnp.sum(white * white, axis=1)
+            + self.unwhitened_gaussian_log_normalizer
+        )
+        return prior + self._poisson_log_likelihood(latents)
+
+    def unnorm_log_prob(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.use_whitened:
+            log_density = self.whitened_posterior_log_density(x)
+        else:
+            log_density = self.unwhitened_posterior_log_density(x)
+        return log_density[:, None]
+
+    def score(self, x: jnp.ndarray, **kwargs) -> jnp.ndarray:
+        """Analytic score (the autodiff fallback would solve per sample)."""
+        if self.use_whitened:
+            # ∇ = -white + Lᵀ·(counts - a·exp(latent))
+            latent = self._latents_from_white(x)
+            like_grad = self.flat_bin_counts[None] - self._poisson_a * jnp.exp(latent)
+            return -x + like_grad @ self.cholesky_gram
+        # unwhitened: ∇ = -L⁻ᵀ L⁻¹ (x-μ) + counts - a·exp(x)
+        from jax.scipy.linalg import solve_triangular
+
+        white = self._white_from_latents(x)
+        prior_grad = -solve_triangular(
+            self.cholesky_gram.T, white.T, lower=False
+        ).T
+        like_grad = self.flat_bin_counts[None] - self._poisson_a * jnp.exp(x)
+        return prior_grad + like_grad

@@ -1,0 +1,126 @@
+"""SDE integrators as jitted `lax.scan` rollouts.
+
+Replaces the reference's Python-loop EulerIntegrator and the torchsde-backed
+integrator (/root/reference/sde_sampler/eq/integrator.py) with scan-compiled
+Euler-Maruyama and Heun (Stratonovich) schemes. Output trajectories are
+linearly interpolated onto the requested output grid, matching the
+reference's `interpolate` semantics (integrator.py:66-77) for the uniform
+internal grid case.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from sde_sampler_tpu.eq.sdes import SDE
+from sde_sampler_tpu.utils.common import get_timesteps
+
+
+def _interpolate_to_grid(
+    timesteps: jnp.ndarray, xs: jnp.ndarray, ts: jnp.ndarray
+) -> jnp.ndarray:
+    """Linear interpolation of the dense rollout (T+1, B, d) onto ts."""
+    idx = jnp.clip(
+        jnp.searchsorted(timesteps, ts, side="right") - 1,
+        0,
+        timesteps.shape[0] - 2,
+    )
+    t0 = timesteps[idx]
+    t1 = timesteps[idx + 1]
+    w = ((ts - t0) / (t1 - t0)).reshape(-1, 1, 1)
+    return xs[idx] * (1 - w) + xs[idx + 1] * w
+
+
+class Integrator:
+    def integrate(self, sde, ts, x_init, key, timesteps=None):
+        raise NotImplementedError
+
+
+class EulerIntegrator(Integrator):
+    """Euler-Maruyama scheme on an internal grid (dt or steps)."""
+
+    def __init__(
+        self,
+        dt: float | None = 0.01,
+        steps: int | None = None,
+        rescale_t: str | None = None,
+        eps: float = 1e-8,
+    ):
+        self.dt = dt
+        self.steps = steps
+        self.rescale_t = rescale_t
+        self.eps = eps
+
+    def integrate(
+        self,
+        sde: SDE,
+        ts: jnp.ndarray,
+        x_init: jnp.ndarray,
+        key: jax.Array,
+        timesteps: jnp.ndarray | None = None,
+    ) -> jnp.ndarray:
+        if timesteps is None:
+            timesteps = get_timesteps(
+                float(ts[0]), float(ts[-1]),
+                dt=self.dt, steps=self.steps, rescale_t=self.rescale_t,
+            )
+
+        def step(carry, inp):
+            x, k = carry
+            s, t = inp
+            k, sub = jax.random.split(k)
+            dt = t - s
+            noise = jax.random.normal(sub, x.shape) * jnp.sqrt(dt)
+            x_next = x + sde.drift(s, x) * dt + sde.diff(s, x) * noise
+            return (x_next, k), x_next
+
+        (_, _), xs_tail = jax.lax.scan(
+            step, (x_init, key), (timesteps[:-1], timesteps[1:])
+        )
+        xs = jnp.concatenate([x_init[None], xs_tail], axis=0)
+        return _interpolate_to_grid(timesteps, xs, ts)
+
+
+class HeunIntegrator(Integrator):
+    """Stratonovich Heun scheme (the torchsde_heun capability equivalent)."""
+
+    def __init__(
+        self,
+        dt: float | None = 0.01,
+        steps: int | None = None,
+        rescale_t: str | None = None,
+    ):
+        self.dt = dt
+        self.steps = steps
+        self.rescale_t = rescale_t
+
+    def integrate(self, sde, ts, x_init, key, timesteps=None):
+        if timesteps is None:
+            timesteps = get_timesteps(
+                float(ts[0]), float(ts[-1]),
+                dt=self.dt, steps=self.steps, rescale_t=self.rescale_t,
+            )
+
+        def step(carry, inp):
+            x, k = carry
+            s, t = inp
+            k, sub = jax.random.split(k)
+            dt = t - s
+            noise = jax.random.normal(sub, x.shape) * jnp.sqrt(dt)
+            drift_s = sde.drift(s, x)
+            diff_s = sde.diff(s, x)
+            x_pred = x + drift_s * dt + diff_s * noise
+            drift_t = sde.drift(t, x_pred)
+            diff_t = sde.diff(t, x_pred)
+            x_next = (
+                x
+                + 0.5 * (drift_s + drift_t) * dt
+                + 0.5 * (diff_s + diff_t) * noise
+            )
+            return (x_next, k), x_next
+
+        (_, _), xs_tail = jax.lax.scan(
+            step, (x_init, key), (timesteps[:-1], timesteps[1:])
+        )
+        xs = jnp.concatenate([x_init[None], xs_tail], axis=0)
+        return _interpolate_to_grid(timesteps, xs, ts)

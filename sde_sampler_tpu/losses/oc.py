@@ -1,0 +1,497 @@
+"""Trajectory losses: Girsanov RND accumulation along scan-compiled rollouts.
+
+Capability parity with /root/reference/sde_sampler/losses/oc.py
+(TimeReversalLoss for DIS/Bridge, ReferenceSDELoss for PIS/EulerDDS,
+ExponentialIntegratorSDELoss for DDS; methods kl / kl_ito / lv / lv_traj,
+sample filtering, max_rnd cutoff, detached sde control with optional
+exploration noise/dropout for the log-variance loss).
+
+TPU-first design: each simulate() is ONE `jax.lax.scan` whose carry is
+(x, rnd, ito, key); the control-network forward is fused into the scan body
+and rematerialized (`jax.checkpoint`) in the backward pass instead of storing
+per-step activations. Both log Z estimators (with and without the Ito
+integral) come from a single evaluation rollout by accumulating the Ito term
+separately — the reference needs two full rollouts (solver/oc.py:75-99).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------------------
+# Divergence helpers (reference utils/autograd.py, via forward-mode jvp)
+# ---------------------------------------------------------------------------
+
+
+def divx_exact(fn: Callable, t, x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact divergence via d forward-mode JVPs; returns (div (B,1), fn(t,x))."""
+    f = lambda xx: fn(t, xx)
+    value = f(x)
+    d = x.shape[-1]
+
+    def one(e):
+        return jax.jvp(f, (x,), (jnp.tile(e[None, :], (x.shape[0], 1)),))[1]
+
+    jvs = jax.vmap(one)(jnp.eye(d, dtype=x.dtype))  # (d, B, d)
+    div = jnp.einsum("ibi->b", jvs)[:, None]
+    return div, value
+
+
+def divx_hutchinson(
+    fn: Callable, t, x: jnp.ndarray, key: jax.Array,
+    noise_type: str = "rademacher", n_samples: int = 1,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Hutchinson estimator of the divergence; returns (div (B,1), fn(t,x))."""
+    f = lambda xx: fn(t, xx)
+    value = f(x)
+    div = jnp.zeros((x.shape[0], 1), dtype=x.dtype)
+    for i in range(n_samples):
+        sub = jax.random.fold_in(key, i)
+        if noise_type == "rademacher":
+            noise = (
+                jax.random.randint(sub, x.shape, 0, 2).astype(x.dtype) * 2 - 1.0
+            )
+        elif noise_type == "gauss":
+            noise = jax.random.normal(sub, x.shape, dtype=x.dtype)
+        else:
+            raise NotImplementedError(f"Undefined noise type {noise_type}.")
+        _, jv = jax.jvp(f, (x,), (noise,))
+        div = div + (jv * noise).sum(axis=-1, keepdims=True)
+    return div / n_samples, value
+
+
+# ---------------------------------------------------------------------------
+# Masked reductions (filtering without dynamic shapes)
+# ---------------------------------------------------------------------------
+
+
+def masked_mean(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    n = mask.sum()
+    return jnp.where(mask, x, 0.0).sum() / jnp.maximum(n, 1)
+
+
+def masked_var(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Unbiased variance over masked entries (matches torch.Tensor.var)."""
+    n = mask.sum()
+    mu = masked_mean(x, mask)
+    ss = jnp.where(mask, (x - mu) ** 2, 0.0).sum()
+    return ss / jnp.maximum(n - 1, 1)
+
+
+class RolloutResult(NamedTuple):
+    samples: jnp.ndarray          # (B, d) terminal states
+    rnd: jnp.ndarray              # (B, 1) RND including the Ito integral
+    rnd_no_ito: jnp.ndarray       # (B, 1) RND without the Ito integral
+    xs: jnp.ndarray | None        # (T+1, B', d) trajectory (optional)
+
+
+class BaseOCLoss:
+    """Shared loss plumbing: filtering, reductions, eval statistics."""
+
+    def __init__(
+        self,
+        generative_ctrl: Callable,
+        sde=None,
+        method: str = "kl",
+        traj_per_sample: int = 1,
+        filter_samples: Callable | None = None,
+        max_rnd: float | None = None,
+        sde_ctrl_dropout: float | None = None,
+        sde_ctrl_noise: float | None = None,
+        remat: bool = True,
+        **kwargs,
+    ):
+        self.generative_ctrl = generative_ctrl
+        self.sde = sde
+        if method not in ["kl", "kl_ito", "lv", "lv_traj"]:
+            raise ValueError("Unknown loss method.")
+        self.method = method
+        if traj_per_sample == 1 and self.method == "lv_traj":
+            raise ValueError("Cannot compute variance over a single trajectory.")
+        self.traj_per_sample = traj_per_sample
+        self.filter_samples = filter_samples
+        self.max_rnd = max_rnd
+        self.sde_ctrl_noise = sde_ctrl_noise
+        self.sde_ctrl_dropout = sde_ctrl_dropout
+        self.remat = remat
+
+    # -- sde control for the log-variance loss ------------------------------
+    def generative_and_sde_ctrl(self, t, x, key):
+        """Detached control driving the SDE; live control in the cost."""
+        generative_ctrl = self.generative_ctrl(t, x)
+        sde_ctrl = jax.lax.stop_gradient(generative_ctrl)
+        if self.sde_ctrl_noise is not None:
+            key, sub = jax.random.split(key)
+            sde_ctrl = sde_ctrl + self.sde_ctrl_noise * jax.random.normal(
+                sub, sde_ctrl.shape
+            )
+        if self.sde_ctrl_dropout is not None:
+            key, sub = jax.random.split(key)
+            mask = jax.random.uniform(sub, sde_ctrl.shape) > self.sde_ctrl_dropout
+            neutral = -(self.sde.drift(t, x) / self.sde.diff(t, x))
+            neutral = jnp.broadcast_to(neutral, sde_ctrl.shape)
+            sde_ctrl = jnp.where(mask, neutral, sde_ctrl)
+        return generative_ctrl, sde_ctrl
+
+    # -- filtering & loss reduction -----------------------------------------
+    def filter(self, rnd, samples=None):
+        mask = jnp.ones_like(rnd, dtype=bool)
+        if samples is not None and self.filter_samples is not None:
+            mask = mask & self.filter_samples(samples)
+        if self.max_rnd is None:
+            return mask & jnp.isfinite(rnd)
+        return mask & (rnd < self.max_rnd)
+
+    def compute_loss(self, rnd, samples=None):
+        mask = self.filter(rnd, samples=samples)
+        if self.method == "lv_traj":
+            r = self.traj_per_sample
+            rnd = rnd.reshape(r, -1, 1)
+            mask = mask.reshape(r, -1, 1).all(axis=0)
+            n_filtered = r * (mask.size - mask.sum())
+            mu = rnd.mean(axis=0, keepdims=True)
+            var = ((rnd - mu) ** 2).sum(axis=0) / (r - 1)  # (B', 1)
+            loss = masked_mean(var, mask)
+        else:
+            n_filtered = mask.size - mask.sum()
+            if self.method == "lv":
+                loss = masked_var(rnd, mask)
+            else:
+                loss = masked_mean(rnd, mask)
+        return loss, {"train/n_filtered": n_filtered}
+
+    @staticmethod
+    def compute_results_arrays(rnd: jnp.ndarray, rnd_no_ito: jnp.ndarray) -> dict:
+        """Device-side eval statistics (both log Z estimators in one pass)."""
+        neg_rnd = -rnd
+        log_weights_max = neg_rnd.max()
+        weights = jnp.exp(neg_rnd - log_weights_max)
+        return {
+            "weights": weights,
+            "log_norm_const_lb_ito": neg_rnd.mean(),
+            "log_norm_const_is": jnp.log(weights.mean()) + log_weights_max,
+            "log_norm_const_lb": (-rnd_no_ito).mean(),
+            "lv_loss": rnd.var(ddof=1),
+        }
+
+    def _repeat_traj(self, x):
+        if self.traj_per_sample != 1:
+            x = jnp.tile(x[None], (self.traj_per_sample, 1, 1))
+            x = x.reshape(-1, x.shape[-1])
+        return x
+
+    def __call__(self, key, ts, x, *args, **kwargs):
+        raise NotImplementedError
+
+    def eval(self, key, ts, x, *args, **kwargs):
+        raise NotImplementedError
+
+
+class TimeReversalLoss(BaseOCLoss):
+    """Time-reversal RND loss (DIS; Bridge when inference_ctrl is given).
+
+    Formulas follow reference losses/oc.py:156-230: running cost
+    ½|u+v|²dt (KL) or (u+v)·(ū−½(u−v))dt (LV), inference-divergence term
+    σ·div(v)dt, Ito integral (u+v)·dW, eval-only −∫div(drift) and initial
+    log-prob, terminal −log ρ(X_T).
+    """
+
+    def __init__(
+        self,
+        *args,
+        inference_ctrl: Callable | None = None,
+        div_estimator: str | None = None,
+        **kwargs,
+    ):
+        super().__init__(*args, **kwargs)
+        self.inference_ctrl = inference_ctrl
+        self.div_estimator = div_estimator
+
+    def simulate(
+        self,
+        key: jax.Array,
+        ts: jnp.ndarray,
+        x: jnp.ndarray,
+        terminal_unnorm_log_prob: Callable,
+        initial_log_prob: Callable | None = None,
+        train: bool = True,
+        change_sde_ctrl: bool = False,
+        return_traj: bool = False,
+    ) -> RolloutResult:
+        if train and self.method in ["kl", "kl_ito"]:
+            rnd0 = jnp.zeros((x.shape[0], 1), dtype=x.dtype)
+        else:
+            rnd0 = initial_log_prob(x)
+
+        use_div_estimator = self.div_estimator if train else None
+
+        def body(carry, inp):
+            x, rnd, ito, key = carry
+            s, t = inp
+            key, k_noise, k_extra = jax.random.split(key, 3)
+
+            if change_sde_ctrl:
+                generative_ctrl, sde_ctrl = self.generative_and_sde_ctrl(
+                    s, x, k_extra
+                )
+            else:
+                sde_ctrl = generative_ctrl = self.generative_ctrl(s, x)
+            sde_diff = self.sde.diff(s, x)
+            dt = t - s
+
+            if self.inference_ctrl is None:
+                gen_plus = gen_minus = generative_ctrl
+            else:
+                if use_div_estimator is None:
+                    div_ctrl, inference_ctrl = divx_exact(
+                        self.inference_ctrl, s, x
+                    )
+                else:
+                    div_ctrl, inference_ctrl = divx_hutchinson(
+                        self.inference_ctrl, s, x, k_extra,
+                        noise_type=use_div_estimator,
+                    )
+                # assumes the diffusion coefficient is independent of x
+                rnd = rnd + sde_diff * div_ctrl * dt
+                gen_plus = generative_ctrl + inference_ctrl
+                gen_minus = generative_ctrl - inference_ctrl
+
+            if change_sde_ctrl:
+                cost = gen_plus * (sde_ctrl - 0.5 * gen_minus)
+                rnd = rnd + cost.sum(axis=-1, keepdims=True) * dt
+            else:
+                rnd = rnd + 0.5 * (gen_plus**2).sum(axis=-1, keepdims=True) * dt
+
+            if not train:
+                rnd = rnd - self.sde.drift_div_int(s, t, x)
+
+            db = jax.random.normal(k_noise, x.shape, dtype=x.dtype) * jnp.sqrt(dt)
+            x_next = (
+                x + (self.sde.drift(s, x) + sde_diff * sde_ctrl) * dt
+                + sde_diff * db
+            )
+            ito = ito + (gen_plus * db).sum(axis=-1, keepdims=True)
+            out = x_next if return_traj else None
+            return (x_next, rnd, ito, key), out
+
+        if self.remat and train:
+            body = jax.checkpoint(body)
+
+        zeros = jnp.zeros((x.shape[0], 1), dtype=x.dtype)
+        (x_T, rnd, ito, _), traj = jax.lax.scan(
+            body, (x, rnd0, zeros, key), (ts[:-1], ts[1:])
+        )
+        rnd = rnd - terminal_unnorm_log_prob(x_T)
+        xs = None
+        if return_traj:
+            xs = jnp.concatenate([x[None], traj], axis=0)
+        return RolloutResult(x_T, rnd + ito, rnd, xs)
+
+    def __call__(
+        self, key, ts, x, terminal_unnorm_log_prob, initial_log_prob=None
+    ):
+        x = self._repeat_traj(x)
+        change_sde_ctrl = self.method in ["lv", "lv_traj"]
+        result = self.simulate(
+            key, ts, x,
+            terminal_unnorm_log_prob=terminal_unnorm_log_prob,
+            initial_log_prob=initial_log_prob,
+            train=True,
+            change_sde_ctrl=change_sde_ctrl,
+            return_traj=False,
+        )
+        rnd = result.rnd if self.method != "kl" else result.rnd_no_ito
+        return self.compute_loss(rnd, samples=result.samples)
+
+    def eval(
+        self, key, ts, x, terminal_unnorm_log_prob, initial_log_prob=None,
+        return_traj: bool = True,
+    ) -> RolloutResult:
+        return self.simulate(
+            key, ts, x,
+            terminal_unnorm_log_prob=terminal_unnorm_log_prob,
+            initial_log_prob=initial_log_prob,
+            train=False,
+            change_sde_ctrl=False,
+            return_traj=return_traj,
+        )
+
+
+class ReferenceSDELoss(BaseOCLoss):
+    """RND against a reference SDE with known marginal (PIS, EulerDDS)."""
+
+    def __init__(self, *args, reference_ctrl: Callable | None = None, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.reference_ctrl = reference_ctrl
+
+    def simulate(
+        self,
+        key: jax.Array,
+        ts: jnp.ndarray,
+        x: jnp.ndarray,
+        terminal_unnorm_log_prob: Callable,
+        reference_log_prob: Callable,
+        train: bool = True,
+        change_sde_ctrl: bool = False,
+        return_traj: bool = False,
+    ) -> RolloutResult:
+        def body(carry, inp):
+            x, rnd, ito, key = carry
+            s, t = inp
+            key, k_noise, k_extra = jax.random.split(key, 3)
+
+            if change_sde_ctrl:
+                generative_ctrl, sde_ctrl = self.generative_and_sde_ctrl(
+                    s, x, k_extra
+                )
+            else:
+                sde_ctrl = generative_ctrl = self.generative_ctrl(s, x)
+            sde_diff = self.sde.diff(s, x)
+            dt = t - s
+
+            if self.reference_ctrl is None:
+                gen_minus_ref = gen_plus_ref = generative_ctrl
+            else:
+                reference_ctrl = self.reference_ctrl(s, x)
+                gen_minus_ref = generative_ctrl - reference_ctrl
+                gen_plus_ref = generative_ctrl + reference_ctrl
+
+            if change_sde_ctrl:
+                cost = gen_minus_ref * (sde_ctrl - 0.5 * gen_plus_ref)
+                rnd = rnd + cost.sum(axis=-1, keepdims=True) * dt
+            else:
+                rnd = rnd + 0.5 * (gen_minus_ref**2).sum(
+                    axis=-1, keepdims=True
+                ) * dt
+
+            db = jax.random.normal(k_noise, x.shape, dtype=x.dtype) * jnp.sqrt(dt)
+            x_next = (
+                x + (self.sde.drift(s, x) + sde_diff * sde_ctrl) * dt
+                + sde_diff * db
+            )
+            ito = ito + (gen_minus_ref * db).sum(axis=-1, keepdims=True)
+            out = x_next if return_traj else None
+            return (x_next, rnd, ito, key), out
+
+        if self.remat and train:
+            body = jax.checkpoint(body)
+
+        zeros = jnp.zeros((x.shape[0], 1), dtype=x.dtype)
+        (x_T, rnd, ito, _), traj = jax.lax.scan(
+            body, (x, zeros, zeros, key), (ts[:-1], ts[1:])
+        )
+        rnd = rnd + reference_log_prob(x_T) - terminal_unnorm_log_prob(x_T)
+        xs = None
+        if return_traj:
+            xs = jnp.concatenate([x[None], traj], axis=0)
+        return RolloutResult(x_T, rnd + ito, rnd, xs)
+
+    def __call__(
+        self, key, ts, x, terminal_unnorm_log_prob, reference_log_prob
+    ):
+        x = self._repeat_traj(x)
+        change_sde_ctrl = self.method in ["lv", "lv_traj"]
+        result = self.simulate(
+            key, ts, x,
+            terminal_unnorm_log_prob=terminal_unnorm_log_prob,
+            reference_log_prob=reference_log_prob,
+            train=True,
+            change_sde_ctrl=change_sde_ctrl,
+            return_traj=False,
+        )
+        rnd = result.rnd if self.method != "kl" else result.rnd_no_ito
+        return self.compute_loss(rnd, samples=result.samples)
+
+    def eval(
+        self, key, ts, x, terminal_unnorm_log_prob, reference_log_prob=None,
+        return_traj: bool = True,
+    ) -> RolloutResult:
+        return self.simulate(
+            key, ts, x,
+            terminal_unnorm_log_prob=terminal_unnorm_log_prob,
+            reference_log_prob=reference_log_prob,
+            train=False,
+            change_sde_ctrl=False,
+            return_traj=return_traj,
+        )
+
+
+class ExponentialIntegratorSDELoss(BaseOCLoss):
+    """DDS exponential integrator (Vargas et al.), reference oc.py:394-505.
+
+    Update: β_k = clip(α√dt, 0, 1), a_k = √(1-β_k²),
+    x ← a_k·x + β_k²σ²·u + σ·β_k·ε with running cost β_k²σ²·½|u|² and
+    Ito increment σ·β_k·u·ε.
+    """
+
+    def __init__(self, *args, alpha: float, sigma: float, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.alpha = float(alpha)
+        self.sigma = float(sigma)
+
+    def simulate(
+        self,
+        key: jax.Array,
+        ts: jnp.ndarray,
+        x: jnp.ndarray,
+        terminal_unnorm_log_prob: Callable,
+        reference_log_prob: Callable,
+        train: bool = True,
+        change_sde_ctrl: bool = False,
+        return_traj: bool = False,
+    ) -> RolloutResult:
+        sigma = self.sigma
+
+        def body(carry, inp):
+            x, rnd, ito, key = carry
+            s, t = inp
+            key, k_noise, k_extra = jax.random.split(key, 3)
+
+            if change_sde_ctrl:
+                generative_ctrl, sde_ctrl = self.generative_and_sde_ctrl(
+                    s, x, k_extra
+                )
+                running_cost = (
+                    generative_ctrl * (sde_ctrl - 0.5 * generative_ctrl)
+                ).sum(axis=-1, keepdims=True)
+            else:
+                sde_ctrl = generative_ctrl = self.generative_ctrl(s, x)
+                running_cost = 0.5 * (generative_ctrl**2).sum(
+                    axis=-1, keepdims=True
+                )
+            dt = t - s
+
+            beta_k = jnp.clip(self.alpha * jnp.sqrt(dt), 0.0, 1.0)
+            alpha_k = jnp.sqrt(1.0 - beta_k**2)
+            rnd = rnd + beta_k**2 * sigma**2 * running_cost
+            noise = jax.random.normal(k_noise, x.shape, dtype=x.dtype)
+            x_next = (
+                x * alpha_k
+                + (beta_k**2) * (sigma**2) * sde_ctrl
+                + sigma * beta_k * noise
+            )
+            ito = ito + (sigma * generative_ctrl * noise * beta_k).sum(
+                axis=-1, keepdims=True
+            )
+            out = x_next if return_traj else None
+            return (x_next, rnd, ito, key), out
+
+        if self.remat and train:
+            body = jax.checkpoint(body)
+
+        zeros = jnp.zeros((x.shape[0], 1), dtype=x.dtype)
+        (x_T, rnd, ito, _), traj = jax.lax.scan(
+            body, (x, zeros, zeros, key), (ts[:-1], ts[1:])
+        )
+        rnd = rnd + reference_log_prob(x_T) - terminal_unnorm_log_prob(x_T)
+        xs = None
+        if return_traj:
+            xs = jnp.concatenate([x[None], traj], axis=0)
+        return RolloutResult(x_T, rnd + ito, rnd, xs)
+
+    __call__ = ReferenceSDELoss.__call__
+    eval = ReferenceSDELoss.eval

@@ -1,0 +1,67 @@
+"""Shared small utilities: results container, timestep grids, clipping.
+
+Capability parity with /root/reference/sde_sampler/utils/common.py
+(`Results`, `get_timesteps` with uniform/quad/cosine spacing, `clip_and_log`),
+re-built on jax.numpy with static shapes suitable for `lax.scan` rollouts.
+"""
+from __future__ import annotations
+
+import math
+from collections import namedtuple
+
+import jax.numpy as jnp
+
+Results = namedtuple(
+    "Results",
+    "samples weights log_norm_const_preds expectation_preds ts xs metrics plots",
+    defaults=[{}, {}, None, None, None, None, {}, {}],
+)
+
+CKPT_DIR = "ckpt"
+
+
+def get_timesteps(
+    start: float,
+    end: float,
+    dt: float | None = None,
+    steps: int | None = None,
+    rescale_t: str | None = None,
+    device=None,  # accepted for config-surface parity; unused in JAX
+    dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Return a (steps+1,) monotone time grid from start to end.
+
+    Spacings: None (uniform), "quad" (sqrt of uniform grid on squared times)
+    and "cosine" (DDS cos^4 schedule, reference utils/common.py:36-54).
+    """
+    if (steps is None) is (dt is None):
+        raise ValueError("Exactly one of `dt` and `steps` should be defined.")
+    if steps is None:
+        steps = int(math.ceil((end - start) / dt))
+    if rescale_t is None:
+        return jnp.linspace(start, end, steps + 1, dtype=dtype)
+    if rescale_t == "quad":
+        grid = jnp.linspace(start, end**2, steps + 1, dtype=dtype)
+        return jnp.clip(jnp.sqrt(grid), max=end)
+    if rescale_t == "cosine":
+        s = 0.008  # shift from the original cosine-schedule paper
+        pre_phase = jnp.linspace(start, end, steps + 1, dtype=dtype) / end
+        phase = ((pre_phase + s) / (1 + s)) * jnp.pi * 0.5
+        dts = jnp.cos(phase) ** 4
+        dts = dts / dts.sum() * end
+        return jnp.concatenate(
+            [jnp.asarray([start], dtype=dtype), jnp.cumsum(dts)]
+        )
+    raise ValueError("Unknown timestep rescaling method.")
+
+
+def clip_norm(tensor: jnp.ndarray, max_norm: float | None) -> jnp.ndarray:
+    """Elementwise clip to [-max_norm, max_norm] (no-op when None).
+
+    The reference pairs clipping with throttled wandb max-abs logging
+    (utils/common.py:58-85); inside a jitted scan we keep the clip pure and
+    surface clip statistics through the solver's metric stream instead.
+    """
+    if max_norm is None:
+        return tensor
+    return jnp.clip(tensor, -max_norm, max_norm)
