@@ -1,0 +1,85 @@
+"""Experiment entry point.
+
+Usage mirrors the reference (`/root/reference/scripts/main.py`, hydra CLI):
+
+    python scripts/main.py target=dw_shift solver=basic_dis loss.method=lv
+
+Config groups live in `conf/` with the same group/option names as the
+reference; overrides use the same grammar (group=option, key.sub=value,
++key=value, ~key). Outputs (metrics.jsonl, PNGs, checkpoints, resolved
+config) are written to logs/<date>/<time> or `out_dir=...`.
+"""
+from __future__ import annotations
+
+import datetime
+import logging
+import os
+import sys
+from pathlib import Path
+
+# The environment pins JAX_PLATFORMS=axon (TPU). Respect an explicit user
+# choice, otherwise keep whatever the environment provides.
+REPO_ROOT = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO_ROOT))
+
+import yaml  # noqa: E402
+
+from sde_sampler_tpu.utils import wandb as wandb_shim  # noqa: E402
+from sde_sampler_tpu.utils.config import compose, locate  # noqa: E402
+
+
+def main(argv: list[str] | None = None):
+    overrides = list(argv if argv is not None else sys.argv[1:])
+
+    cfg = compose(REPO_ROOT / "conf", "base", overrides)
+
+    # Output directory
+    if cfg.get("out_dir"):
+        out_dir = Path(cfg["out_dir"])
+    else:
+        now = datetime.datetime.now()
+        out_dir = REPO_ROOT / "logs" / now.strftime("%Y-%m-%d") / now.strftime(
+            "%H-%M-%S"
+        )
+    out_dir.mkdir(parents=True, exist_ok=True)
+    cfg["out_dir"] = str(out_dir)
+
+    logging.basicConfig(
+        level=logging.INFO,
+        format="[%(asctime)s][%(levelname)s] %(message)s",
+        handlers=[
+            logging.StreamHandler(),
+            logging.FileHandler(out_dir / "main.log"),
+        ],
+        force=True,
+    )
+    logging.info("Env: JAX_PLATFORMS=%s", os.environ.get("JAX_PLATFORMS"))
+    logging.info("Output directory: %s", out_dir)
+
+    with open(out_dir / "config.yaml", "w") as f:
+        yaml.safe_dump(cfg, f, sort_keys=False)
+
+    wandb_cfg = cfg.get("wandb") or {}
+    if wandb_cfg.get("mode") != "disabled":
+        wandb_shim.init(
+            project=wandb_cfg.get("project"),
+            name=wandb_cfg.get("name"),
+            tags=wandb_cfg.get("tags"),
+            dir=str(out_dir),
+        )
+
+    try:
+        solver_cls = locate(cfg["solver"]["_target_"])
+        solver = solver_cls(cfg)
+        solver.setup()
+        results = solver()
+        return results
+    except Exception:
+        logging.exception("Run failed")
+        raise
+    finally:
+        wandb_shim.finish()
+
+
+if __name__ == "__main__":
+    main()

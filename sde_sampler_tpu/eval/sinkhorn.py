@@ -1,0 +1,192 @@
+"""Entropy-regularized p-Wasserstein (Sinkhorn) distance, TPU-streamed.
+
+Capability parity with /root/reference/sde_sampler/eval/sinkhorn.py, which
+relies on pykeops LazyTensors to stream the N×M cost matrix through compiled
+CUDA kernels. Here the lazy semantics are reproduced natively for TPU: the
+cost matrix is never materialized — log-domain Sinkhorn iterations run over
+(row-chunk × col-chunk) tiles with an online logsumexp, and for p=2 the
+pairwise distances are computed via a tile matmul (|x|² + |y|² − 2·x·yᵀ)
+that maps onto the MXU. Everything is jit-compiled; the iteration loop runs
+on host with the same stop_thresh/max_iters early-exit as the reference.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _pad_rows(arr: jnp.ndarray, multiple: int, fill: float = 0.0) -> jnp.ndarray:
+    n = arr.shape[0]
+    pad = (-n) % multiple
+    if pad == 0:
+        return arr
+    widths = [(0, pad)] + [(0, 0)] * (arr.ndim - 1)
+    return jnp.pad(arr, widths, constant_values=fill)
+
+
+def _cost_tile(x_chunk, y_chunk, p: int):
+    """Pairwise p-distance tile: (R, d) x (C, d) -> (R, C)."""
+    if p == 2:
+        sq = (
+            (x_chunk**2).sum(-1)[:, None]
+            + (y_chunk**2).sum(-1)[None, :]
+            - 2.0 * x_chunk @ y_chunk.T
+        )
+        return jnp.sqrt(jnp.clip(sq, 0.0, None))
+    diff = x_chunk[:, None, :] - y_chunk[None, :, :]
+    if p == 1:
+        return jnp.abs(diff).sum(-1)
+    return ((diff**p).sum(-1)) ** (1.0 / p)
+
+
+@partial(jax.jit, static_argnames=("p", "row_chunk", "col_chunk"))
+def _softmin(x, y, dual, eps, p: int, row_chunk: int, col_chunk: int):
+    """eps * logsumexp_j((-M_ij + dual_j)/eps) for all rows i, tiled."""
+    n = x.shape[0]
+    x_pad = _pad_rows(x, row_chunk)
+    y_pad = _pad_rows(y, col_chunk)
+    dual_pad = _pad_rows(dual, col_chunk, fill=-jnp.inf)
+    n_col_chunks = y_pad.shape[0] // col_chunk
+    x_chunks = x_pad.reshape(-1, row_chunk, x.shape[1])
+
+    def per_row_chunk(x_c):
+        def col_body(c, state):
+            m_run, s_run = state
+            y_c = jax.lax.dynamic_slice(
+                y_pad, (c * col_chunk, 0), (col_chunk, y.shape[1])
+            )
+            d_c = jax.lax.dynamic_slice(dual_pad, (c * col_chunk,), (col_chunk,))
+            z = (-_cost_tile(x_c, y_c, p) + d_c[None, :]) / eps
+            m_new = jnp.maximum(m_run, z.max(axis=1))
+            s_run = s_run * jnp.exp(m_run - m_new) + jnp.exp(
+                z - m_new[:, None]
+            ).sum(axis=1)
+            return m_new, s_run
+
+        m0 = jnp.full((row_chunk,), -jnp.inf)
+        s0 = jnp.zeros((row_chunk,))
+        m, s = jax.lax.fori_loop(0, n_col_chunks, col_body, (m0, s0))
+        return m + jnp.log(s)
+
+    lse = jax.lax.map(per_row_chunk, x_chunks).reshape(-1)[:n]
+    return eps * lse
+
+
+@partial(jax.jit, static_argnames=("p", "row_chunk", "col_chunk"))
+def _transport_cost(x, y, u, v, eps, p: int, row_chunk: int, col_chunk: int):
+    """sum_ij P_ij * M_ij with P = exp((-M + u_i + v_j)/eps), tiled."""
+    x_pad = _pad_rows(x, row_chunk)
+    y_pad = _pad_rows(y, col_chunk)
+    u_pad = _pad_rows(u, row_chunk, fill=-jnp.inf)
+    v_pad = _pad_rows(v, col_chunk, fill=-jnp.inf)
+    n_col_chunks = y_pad.shape[0] // col_chunk
+    x_chunks = x_pad.reshape(-1, row_chunk, x.shape[1])
+    u_chunks = u_pad.reshape(-1, row_chunk)
+
+    def per_row_chunk(args):
+        x_c, u_c = args
+
+        def col_body(c, acc):
+            y_c = jax.lax.dynamic_slice(
+                y_pad, (c * col_chunk, 0), (col_chunk, y.shape[1])
+            )
+            v_c = jax.lax.dynamic_slice(v_pad, (c * col_chunk,), (col_chunk,))
+            m = _cost_tile(x_c, y_c, p)
+            plan = jnp.exp((-m + u_c[:, None] + v_c[None, :]) / eps)
+            return acc + (plan * m).sum()
+
+        return jax.lax.fori_loop(0, n_col_chunks, col_body, 0.0)
+
+    return jax.lax.map(per_row_chunk, (x_chunks, u_chunks)).sum()
+
+
+class Sinkhorn:
+    """Entropy-regularized p-Wasserstein distance between point clouds."""
+
+    def __init__(
+        self,
+        p: float = 2,
+        eps: float = 1e-3,
+        max_iters: int = 100,
+        stop_thresh: float = 1e-5,
+        verbose: bool = False,
+        n_max: int | None = None,
+        row_chunk: int = 1024,
+        col_chunk: int = 8192,
+        **kwargs,
+    ):
+        if not isinstance(p, int):
+            raise TypeError(f"p must be an integer greater than 0, got {p}")
+        if p <= 0:
+            raise ValueError(f"p must be an integer greater than 0, got {p}")
+        self.p = p
+        if eps <= 0:
+            raise ValueError("Entropy regularization term eps must be > 0")
+        self.eps = eps
+        if not isinstance(max_iters, int) or max_iters <= 0:
+            raise TypeError(f"max_iters must be an integer > 0, got {max_iters}")
+        self.max_iters = max_iters
+        if not isinstance(stop_thresh, float):
+            raise TypeError(f"stop_thresh must be a float, got {stop_thresh}")
+        self.stop_thresh = stop_thresh
+        self.n_max = n_max
+        self.verbose = verbose
+        self.row_chunk = row_chunk
+        self.col_chunk = col_chunk
+
+    def compute(self, x, y, w_x=None, w_y=None):
+        x = jnp.asarray(x, dtype=jnp.float32)
+        y = jnp.asarray(y, dtype=jnp.float32)
+        if x.ndim != 2 or y.ndim != 2:
+            raise ValueError("x and y must be [n, d] / [m, d] arrays")
+        if x.shape[1] != y.shape[1]:
+            raise ValueError("x and y must match in the last dimension")
+        if (w_x is None) != (w_y is None):
+            raise ValueError("Provide both or neither of w_x and w_y")
+
+        if w_x is None:
+            w_x = jnp.ones(x.shape[0]) / x.shape[0]
+            w_y = jnp.ones(y.shape[0]) / y.shape[0]
+            w_y = w_y * (w_x.shape[0] / w_y.shape[0])
+        else:
+            w_x = jnp.asarray(w_x).reshape(-1)
+            w_y = jnp.asarray(w_y).reshape(-1)
+        if abs(float(w_x.sum()) - float(w_y.sum())) > 1e-5:
+            raise ValueError("Weights w_x and w_y do not sum to the same value")
+
+        log_a = jnp.log(w_x)
+        log_b = jnp.log(w_y)
+        u = jnp.zeros_like(w_x)
+        v = self.eps * jnp.log(w_y)
+
+        chunks = dict(
+            p=self.p,
+            row_chunk=min(self.row_chunk, x.shape[0]),
+            col_chunk=min(self.col_chunk, y.shape[0]),
+        )
+        for it in range(self.max_iters):
+            u_prev, v_prev = u, v
+            u = log_a * self.eps - _softmin(x, y, v, self.eps, **chunks)
+            v = log_b * self.eps - _softmin(y, x, u, self.eps, **chunks)
+            max_err = max(
+                float(jnp.abs(u_prev - u).max()),
+                float(jnp.abs(v_prev - v).max()),
+            )
+            if self.verbose:
+                print(f"sinkhorn iter {it}: max_err={max_err:.3g}")
+            if max_err < self.stop_thresh:
+                break
+
+        return _transport_cost(x, y, u, v, self.eps, **chunks)
+
+    def __call__(self, x, y, w_x=None, w_y=None):
+        if self.n_max is not None:
+            x, y = x[: self.n_max], y[: self.n_max]
+            if w_x is not None:
+                w_x = w_x[: self.n_max]
+            if w_y is not None:
+                w_y = w_y[: self.n_max]
+        return self.compute(x, y, w_x=w_x, w_y=w_y)

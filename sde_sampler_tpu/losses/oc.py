@@ -184,6 +184,16 @@ class BaseOCLoss:
             x = x.reshape(-1, x.shape[-1])
         return x
 
+    def with_ctrls(self, **kwargs) -> "BaseOCLoss":
+        """Shallow copy with control closures bound (used inside jit traces,
+        where the controls capture the current parameter pytree)."""
+        import copy
+
+        new = copy.copy(self)
+        for name, value in kwargs.items():
+            setattr(new, name, value)
+        return new
+
     def __call__(self, key, ts, x, *args, **kwargs):
         raise NotImplementedError
 

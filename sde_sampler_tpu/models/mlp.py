@@ -69,10 +69,10 @@ def make_init(spec):
         return spec
     if spec == "zeros":
         return nn.initializers.zeros_init()
-    if isinstance(spec, dict):
-        if "constant" in spec:
-            val = float(spec["constant"])
-            return lambda key, shape, dtype=jnp.float32: jnp.full(shape, val, dtype)
+    # linen freezes dict attributes, so accept any mapping
+    if hasattr(spec, "get") and spec.get("constant") is not None:
+        val = float(spec["constant"])
+        return lambda key, shape, dtype=jnp.float32: jnp.full(shape, val, dtype)
     raise ValueError(f"Unknown initializer spec: {spec!r}")
 
 

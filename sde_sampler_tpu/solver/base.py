@@ -1,0 +1,786 @@
+"""Solver and Trainable bases: training loop, EMA, schedulers, checkpoints.
+
+Capability parity with /root/reference/sde_sampler/solver/base.py (Solver
+setup/run/log/checkpoint; Trainable train loop with loss/grad guards, EMA
+with warmup decay schedule, CombinedScheduler + MultiStepParams for
+scheduling arbitrary config attributes, loss/grad-variance diagnostics).
+
+TPU-native design: one jit-compiled `train_step(state, clips)` carrying a
+TrainState pytree (params, optimizer state, EMA shadow, counters, PRNG key);
+data-dependent step skipping and EMA warmup run inside jit via `lax.cond`/
+`jnp.where`; scheduled clip values enter as dynamic scalars so milestone
+changes never retrace. The trajectory batch is sharded over a 1-D device
+mesh (parallel/mesh.py) and loss reduction rides a single psum.
+"""
+from __future__ import annotations
+
+import json
+import logging
+import time
+import typing as tp
+from bisect import bisect_right
+from collections import Counter
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import yaml
+from flax import struct
+
+from sde_sampler_tpu.distr.base import Distribution
+from sde_sampler_tpu.eval.metrics import get_metrics
+from sde_sampler_tpu.eval.plots import get_plots, save_fig
+from sde_sampler_tpu.parallel import mesh as mesh_lib
+from sde_sampler_tpu.utils import ckpt as ckpt_lib
+from sde_sampler_tpu.utils import wandb as wandb_shim
+from sde_sampler_tpu.utils.common import CKPT_DIR, Results
+from sde_sampler_tpu.utils.config import instantiate
+
+
+@struct.dataclass
+class TrainState:
+    params: tp.Any
+    opt_state: tp.Any
+    ema_params: tp.Any
+    ema_num_updates: jnp.ndarray
+    step: jnp.ndarray
+    n_steps_skip: jnp.ndarray
+    n_filtered: jnp.ndarray
+    key: jax.Array
+
+
+# ---------------------------------------------------------------------------
+# Optimizer / scheduler / EMA config objects
+# ---------------------------------------------------------------------------
+
+
+class Adam:
+    """torch.optim.Adam-compatible config (weight_decay = L2 on grads)."""
+
+    def __init__(
+        self,
+        lr: float = 1e-3,
+        weight_decay: float = 0.0,
+        betas: tuple = (0.9, 0.999),
+        eps: float = 1e-8,
+    ):
+        self.lr = lr
+        self.weight_decay = weight_decay
+        self.betas = tuple(betas)
+        self.eps = eps
+
+    def transform(self, lr: float, schedule) -> optax.GradientTransformation:
+        parts = []
+        if self.weight_decay:
+            parts.append(optax.add_decayed_weights(self.weight_decay))
+        parts.append(
+            optax.scale_by_adam(b1=self.betas[0], b2=self.betas[1], eps=self.eps)
+        )
+        parts.append(optax.scale_by_schedule(lambda step: -lr * schedule(step)))
+        return optax.chain(*parts)
+
+
+class StepLR:
+    """Multiplier gamma**(step // step_size) (torch StepLR semantics)."""
+
+    def __init__(self, step_size: int, gamma: float):
+        self.step_size = step_size
+        self.gamma = gamma
+
+    def __call__(self, step):
+        return self.gamma ** (step // self.step_size)
+
+
+class MultiStepLR:
+    def __init__(self, milestones: list[int], gamma: float):
+        self.milestones = [int(m) for m in milestones]
+        self.gamma = gamma
+
+    def __call__(self, step):
+        count = sum((step >= m) for m in self.milestones)
+        return self.gamma**count
+
+
+class ConstantLR:
+    def __call__(self, step):
+        return 1.0
+
+
+class GradClip:
+    """Global-norm gradient clipping config."""
+
+    def __init__(self, max_norm: float = 1.0, norm_type: float = 2.0, **kwargs):
+        self.max_norm = max_norm
+        self.norm_type = norm_type
+
+
+class EMAConfig:
+    """EMA with warmup: decay 1-(1+n/inv_gamma)^-power capped at `decay`.
+
+    Matches the reference EMA (solver/base.py:624-716): num_updates counts
+    optimizer steps; shadow copies params until update_after_step; updates
+    every `update_every` steps thereafter.
+    """
+
+    def __init__(
+        self,
+        decay: float = 0.9999,
+        update_after_step: int = 100,
+        update_every: int = 10,
+        inv_gamma: float = 1.0,
+        power: float = 2 / 3,
+        min_value: float = 0.0,
+        **kwargs,
+    ):
+        self.decay = decay
+        self.update_after_step = int(update_after_step)
+        self.update_every = int(update_every)
+        self.inv_gamma = inv_gamma
+        self.power = power
+        self.min_value = min_value
+
+    def current_decay(self, num_updates):
+        epoch = jnp.maximum(
+            num_updates.astype(jnp.float32) - self.update_after_step - 1, 0.0
+        )
+        value = 1.0 - (1.0 + epoch / self.inv_gamma) ** (-self.power)
+        decay = jnp.clip(value, self.min_value, self.decay)
+        return jnp.where(epoch <= 0, 0.0, decay)
+
+    def update(self, ema_params, num_updates, params, apply: jnp.ndarray):
+        """One (conditional) EMA update inside jit; apply gates the step."""
+        num_updates = num_updates + apply.astype(num_updates.dtype)
+        due = (num_updates % self.update_every == 0) & apply
+
+        def do_update(ema):
+            def copy(_):
+                return params
+
+            def decay_update(shadow):
+                decay = self.current_decay(num_updates)
+                return jax.tree_util.tree_map(
+                    lambda s, p: s - (1.0 - decay) * (s - p), shadow, params
+                )
+
+            return jax.lax.cond(
+                num_updates <= self.update_after_step, copy, decay_update, ema
+            )
+
+        ema_params = jax.lax.cond(due, do_update, lambda e: e, ema_params)
+        return ema_params, num_updates
+
+
+class CombinedScheduler:
+    """Bundles the (already-in-optimizer) lr schedule and MultiStepParams."""
+
+    def __init__(self, solver, lr_schedule, base_lrs: dict[str, float]):
+        self.solver = solver
+        self.lr_schedule = lr_schedule
+        self.base_lrs = base_lrs
+        self.param_schedulers: list[MultiStepParams] = []
+
+    def add(self, scheduler: "MultiStepParams"):
+        self.param_schedulers.append(scheduler)
+
+    def get(self, step: int) -> dict[str, float]:
+        factor = float(self.lr_schedule(step))
+        output = {
+            f"lr_{i}": lr * factor
+            for i, lr in enumerate(self.base_lrs.values())
+        }
+        for sched in self.param_schedulers:
+            output.update(sched.get())
+        return output
+
+    def step(self):
+        for sched in self.param_schedulers:
+            sched.step()
+
+    def state_dict(self):
+        return {
+            i: s.state_dict() for i, s in enumerate(self.param_schedulers)
+        }
+
+    def load_state_dict(self, state_dict):
+        for i, s in enumerate(self.param_schedulers):
+            if i in state_dict or str(i) in state_dict:
+                s.load_state_dict(state_dict.get(i, state_dict.get(str(i))))
+
+
+class MultiStepParams:
+    """Schedules arbitrary dotted keys of the solver's dynamic-params dict.
+
+    The reference mutates attributes of live modules
+    (solver/base.py:535-621); here scheduled values live in
+    `solver.scheduled_params` (e.g. 'generative_ctrl.clip_model') and are fed
+    into jit as dynamic scalars, so milestone changes never trigger a
+    recompile.
+    """
+
+    def __init__(
+        self,
+        obj,
+        milestones: list[int],
+        gammas: dict[str, float],
+        last_step: int = 0,
+    ):
+        self.obj = obj
+        self.milestones = Counter(int(m) for m in milestones)
+        self.gammas = dict(gammas)
+
+        store = getattr(obj, "scheduled_params", {})
+        self.base_values = {
+            k: store[k] for k in self.gammas if store.get(k) is not None
+        }
+        missing = set(self.gammas) - set(self.base_values)
+        if missing:
+            logging.warning(
+                "The keys %s are missing and cannot be scheduled.", missing
+            )
+            self.gammas = {k: self.gammas[k] for k in self.base_values}
+        self.last_step = last_step
+        self.update()
+
+    def get(self) -> dict[str, float]:
+        store = self.obj.scheduled_params
+        return {k: store.get(k) for k in self.gammas}
+
+    def set(self, values: dict[str, float]):
+        self.obj.scheduled_params.update(values)
+
+    def step(self):
+        self.last_step += 1
+        if self.last_step in self.milestones:
+            mult = self.milestones[self.last_step]
+            self.set(
+                {k: v * self.gammas[k] ** mult for k, v in self.get().items()}
+            )
+
+    def update(self):
+        milestones = sorted(self.milestones.elements())
+        n = bisect_right(milestones, self.last_step)
+        self.set(
+            {k: v * self.gammas[k] ** n for k, v in self.base_values.items()}
+        )
+
+    def state_dict(self):
+        return {
+            "last_step": self.last_step,
+            "base_values": self.base_values,
+            "gammas": self.gammas,
+        }
+
+    def load_state_dict(self, state_dict):
+        self.last_step = state_dict["last_step"]
+        self.base_values = state_dict.get("base_values", self.base_values)
+        self.update()
+
+
+# ---------------------------------------------------------------------------
+# Solver
+# ---------------------------------------------------------------------------
+
+
+class Solver:
+    save_attrs: list[str] = []
+
+    def __init__(self, cfg: dict):
+        self.cfg = cfg
+        self.out_dir = Path(cfg.get("out_dir") or Path.cwd())
+
+        seed = int(cfg.get("seed", 0))
+        self.key = jax.random.PRNGKey(seed)
+
+        # Device mesh (data-parallel over all visible devices)
+        self.mesh = mesh_lib.get_mesh(cfg.get("n_devices"))
+
+        # Problem
+        self.target: Distribution = instantiate(cfg["target"])
+
+        # Sample losses (e.g. Sinkhorn)
+        self.eval_sample_losses = None
+        if cfg.get("eval_sample_losses") is not None:
+            self.eval_sample_losses = {
+                name: instantiate(loss_cfg)
+                for name, loss_cfg in cfg["eval_sample_losses"].items()
+            }
+
+        # Logging and checkpoints
+        self.plot_results: bool = cfg.get("plot_results", True)
+        self.store_last_ckpt: bool = cfg.get("store_last_ckpt", False)
+        self.eval_marginal_dims: list = cfg.get("eval_marginal_dims") or []
+        self.ckpt_file = cfg.get("ckpt_file")
+        self.ckpt_dir = self.out_dir / CKPT_DIR
+        self.metrics_file = self.out_dir / "metrics.jsonl"
+        logging.info("Checkpoint directory: %s", self.ckpt_dir)
+
+        self.initialized = False
+        self.initial_time = time.time()
+
+    def next_key(self) -> jax.Array:
+        self.key, sub = jax.random.split(self.key)
+        return sub
+
+    def setup(self):
+        logging.info("Setting up solver.")
+        self.target.compute_stats(self.next_key())
+        self.load_checkpoint(self.ckpt_file)
+        self.initialized = True
+
+    def get_metrics_and_plots(self, results: Results) -> tuple[dict, dict]:
+        metrics = dict(results.metrics)
+        plots = dict(results.plots)
+        metrics["eval/overall_time"] = time.time() - self.initial_time
+
+        if results.samples is not None:
+            samples = results.samples
+            nonfinite = int((~jnp.isfinite(samples).all(axis=-1)).sum())
+            if nonfinite > 0:
+                logging.warning("Found %d non-finite samples.", nonfinite)
+
+            if self.plot_results:
+                plots.update(
+                    get_plots(
+                        distr=self.target,
+                        samples=samples,
+                        weights=results.weights,
+                        ts=results.ts,
+                        xs=results.xs,
+                        marginal_dims=self.eval_marginal_dims,
+                        sample_key=self.next_key(),
+                    )
+                )
+                if hasattr(self.target, "plots"):
+                    plots.update(self.target.plots(samples))
+
+            metrics.update(
+                get_metrics(
+                    distr=self.target,
+                    samples=samples,
+                    weights=results.weights,
+                    log_norm_const_preds=results.log_norm_const_preds,
+                    expectation_preds=results.expectation_preds,
+                    marginal_dims=self.eval_marginal_dims,
+                    sample_losses=self.eval_sample_losses,
+                    sample_key=self.next_key(),
+                )
+            )
+            if hasattr(self.target, "metrics"):
+                metrics.update(self.target.metrics(samples))
+        return metrics, plots
+
+    def log(self, results: Results, step=None) -> dict:
+        metrics, plots = self.get_metrics_and_plots(results)
+        for k, fig in plots.items():
+            name = f"{k}.png" if step is None else f"{k}_step_{step}.png"
+            save_fig(fig, self.out_dir / name)
+        self.metrics_file.parent.mkdir(parents=True, exist_ok=True)
+        with self.metrics_file.open(mode="a") as f:
+            f.write(json.dumps(metrics) + "\n")
+        wandb_shim.log(metrics, step=step)
+        logging.info("Metrics:\n%s", yaml.dump(metrics))
+        return metrics
+
+    def run(self) -> Results:
+        raise NotImplementedError
+
+    def __call__(self) -> Results:
+        if not self.initialized:
+            self.setup()
+        logging.info("Running solver.")
+        results = self.run()
+        if self.store_last_ckpt:
+            self.store_checkpoint(suffix="_final")
+        logging.info("Logging final results.")
+        self.log(results)
+        return results
+
+    # -- checkpoint protocol ------------------------------------------------
+    def state_dict(self) -> dict:
+        state = {}
+        for key in self.save_attrs:
+            attr = getattr(self, key)
+            if getattr(attr, "state_dict", None):
+                state[key] = attr.state_dict()
+            else:
+                state[key] = attr
+        return state
+
+    def load_state_dict(self, state: dict):
+        for key in self.save_attrs:
+            if key in state:
+                attr = getattr(self, key)
+                if getattr(attr, "load_state_dict", None):
+                    attr.load_state_dict(state[key])
+                else:
+                    setattr(self, key, state[key])
+
+    def store_checkpoint(self, suffix="") -> Path:
+        path = self.ckpt_dir / f"ckpt{suffix}.pkl"
+        logging.info("Save checkpoint at %s", path)
+        return ckpt_lib.save_checkpoint(path, self.state_dict())
+
+    def load_checkpoint(self, ckpt_file=None):
+        if ckpt_file is None:
+            ckpt_file = ckpt_lib.latest_checkpoint(self.ckpt_dir)
+        if ckpt_file is not None:
+            logging.info("Loading checkpoint %s", ckpt_file)
+            self.load_state_dict(ckpt_lib.load_checkpoint(ckpt_file))
+
+
+class Trainable(Solver):
+    save_attrs = ["train_state", "time", "scheduler"]
+
+    def __init__(self, cfg: dict):
+        super().__init__(cfg=cfg)
+
+        # Dynamic (scheduled) parameters: clip thresholds etc.
+        self.scheduled_params: dict[str, float] = {}
+
+        # Models (subclass responsibility; fills self.modules + init params)
+        self.setup_models()
+
+        # Optimization config
+        self.train_steps = int(cfg["train_steps"])
+        self.grad_clip: GradClip | None = instantiate(cfg.get("grad_clip"))
+        self.max_grad = cfg.get("max_grad")
+        self.max_loss = cfg.get("max_loss")
+        self.scale_loss = cfg.get("scale_loss")
+
+        self.optim_cfg: Adam = instantiate(cfg["optim"])
+        lr_schedule = instantiate(cfg.get("lr_scheduler")) or ConstantLR()
+        self.lr_schedule = lr_schedule
+
+        # Per-submodule learning rates (param_groups)
+        group_lrs = {}
+        if cfg.get("param_groups"):
+            for name, options in cfg["param_groups"].items():
+                group_lrs[name] = float(options.get("lr", self.optim_cfg.lr))
+        self.group_lrs = group_lrs
+
+        self.optimizer = self._build_optimizer()
+
+        # EMA
+        self.ema: EMAConfig | None = instantiate(cfg.get("ema"))
+
+        # Scheduler(s)
+        base_lrs = group_lrs or {"all": self.optim_cfg.lr}
+        self.scheduler = CombinedScheduler(self, lr_schedule, base_lrs)
+        for sched_cfg in cfg.get("scheduler") or []:
+            self.scheduler.add(instantiate(sched_cfg, obj=self))
+
+        # Train state
+        params = self.init_params()
+        if self.mesh is not None:
+            params = mesh_lib.replicate(params, self.mesh)
+        ema_params = params if self.ema else None
+        self.train_state = TrainState(
+            params=params,
+            opt_state=self.optimizer.init(params),
+            ema_params=ema_params,
+            ema_num_updates=jnp.zeros((), jnp.int32),
+            step=jnp.zeros((), jnp.int32),
+            n_steps_skip=jnp.zeros((), jnp.int32),
+            n_filtered=jnp.zeros((), jnp.int32),
+            key=self.next_key(),
+        )
+
+        # Evaluation / logging cadence
+        self.time = 0.0
+        self.eval_stddev_steps = cfg.get("eval_stddev_steps")
+        self.eval_init = cfg.get("eval_init", True)
+        self.eval_interval = cfg.get("eval_interval") or self.train_steps
+        self.log_interval = cfg.get("log_interval") or self.train_steps
+        self.ckpt_interval = cfg.get("ckpt_interval") or self.train_steps
+
+        self._train_step = jax.jit(
+            self._make_train_step_impl(self.compute_loss_traced),
+            donate_argnums=(0,),
+        )
+        self._grad_fn = jax.jit(self._loss_and_grad_impl)
+
+        n_params = sum(
+            int(np.prod(p.shape))
+            for p in jax.tree_util.tree_leaves(self.train_state.params)
+        )
+        logging.info("Trainable parameters: %d", n_params)
+        wandb_shim.summary_update({"params/trainable": n_params})
+
+    # -- subclass interface --------------------------------------------------
+    def setup_models(self):
+        raise NotImplementedError
+
+    def init_params(self) -> dict:
+        raise NotImplementedError
+
+    def compute_loss_traced(self, params, key, clips):
+        """Return (loss, metrics_dict) as traced values."""
+        raise NotImplementedError
+
+    def compute_results(self) -> Results:
+        raise NotImplementedError
+
+    # -- optimizer -----------------------------------------------------------
+    def _build_optimizer(self) -> optax.GradientTransformation:
+        schedule = lambda step: self.lr_schedule(step)
+        parts = []
+        if self.grad_clip is not None:
+            parts.append(optax.clip_by_global_norm(self.grad_clip.max_norm))
+        if self.group_lrs:
+            transforms = {
+                name: self.optim_cfg.transform(lr, schedule)
+                for name, lr in self.group_lrs.items()
+            }
+
+            def label_fn(params):
+                return {name: name for name in params}
+
+            parts.append(optax.multi_transform(transforms, label_fn))
+        else:
+            parts.append(self.optim_cfg.transform(self.optim_cfg.lr, schedule))
+        return optax.chain(*parts)
+
+    # -- dynamic clip params --------------------------------------------------
+    def register_scheduled_clips(self, name: str, module):
+        for attr in ("clip_model", "clip_score"):
+            value = getattr(module, attr, None)
+            if value is not None:
+                self.scheduled_params[f"{name}.{attr}"] = float(value)
+
+    def current_clips(self) -> dict:
+        """Nested {module_name: {clip_attr: jnp scalar}} for jit consumption."""
+        clips: dict[str, dict] = {}
+        for dotted, value in self.scheduled_params.items():
+            mod, attr = dotted.split(".", 1)
+            clips.setdefault(mod, {})[attr] = jnp.asarray(value, jnp.float32)
+        return clips
+
+    # -- training ------------------------------------------------------------
+    def _make_train_step_impl(self, loss_traced):
+        """Build the jittable train-step body around a traced loss fn.
+
+        `loss_traced(params, key, clips, *extra)` lets solver variants (e.g.
+        SubtrajBridge) thread extra dynamic arguments without re-implementing
+        the guard/update/EMA logic.
+        """
+
+        def impl(state: TrainState, clips, *extra):
+            return self._train_step_body(state, clips, loss_traced, extra)
+
+        return impl
+
+    def _train_step_body(self, state: TrainState, clips, loss_traced, extra):
+        key, k_loss = jax.random.split(state.key)
+
+        def loss_fn(params):
+            loss, metrics = loss_traced(params, k_loss, clips, *extra)
+            if self.scale_loss is not None:
+                loss = self.scale_loss * loss
+            return loss, metrics
+
+        (loss, loss_metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+
+        # Guards (reference solver/base.py:409-439)
+        if self.max_loss is None:
+            loss_ok = jnp.isfinite(loss)
+        else:
+            loss_ok = jnp.abs(loss) <= self.max_loss
+        grad_inf_norm = jax.tree_util.tree_reduce(
+            jnp.maximum,
+            jax.tree_util.tree_map(lambda g: jnp.abs(g).max(), grads),
+            jnp.zeros(()),
+        )
+        if self.max_grad is None:
+            grad_ok = jnp.isfinite(grad_inf_norm)
+        else:
+            grad_ok = grad_inf_norm <= self.max_grad
+        ok = loss_ok & grad_ok
+
+        updates, new_opt_state = self.optimizer.update(
+            grads, state.opt_state, state.params
+        )
+        new_params = optax.apply_updates(state.params, updates)
+
+        select = lambda a, b: jax.tree_util.tree_map(
+            lambda x, y: jnp.where(ok, x, y), a, b
+        )
+        params = select(new_params, state.params)
+        opt_state = select(new_opt_state, state.opt_state)
+
+        ema_params, ema_num = state.ema_params, state.ema_num_updates
+        ema_decay = jnp.zeros(())
+        if self.ema is not None:
+            ema_params, ema_num = self.ema.update(
+                ema_params, ema_num, params, apply=ok
+            )
+            ema_decay = self.ema.current_decay(ema_num)
+
+        metrics = dict(loss_metrics)
+        metrics.update(
+            {
+                "train/loss": loss,
+                "train/max_grad": grad_inf_norm,
+                "train/skipped_steps": state.n_steps_skip + (~ok),
+                "train/ema_decay": ema_decay,
+            }
+        )
+        new_state = state.replace(
+            params=params,
+            opt_state=opt_state,
+            ema_params=ema_params,
+            ema_num_updates=ema_num,
+            step=state.step + 1,
+            n_steps_skip=state.n_steps_skip + (~ok),
+            n_filtered=state.n_filtered
+            + loss_metrics.get("train/n_filtered", 0),
+            key=key,
+        )
+        return new_state, metrics
+
+    def _loss_and_grad_impl(self, params, key, clips):
+        def loss_fn(p):
+            loss, _ = self.compute_loss_traced(p, key, clips)
+            if self.scale_loss is not None:
+                loss = self.scale_loss * loss
+            return loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        flat = jnp.concatenate(
+            [g.reshape(-1) for g in jax.tree_util.tree_leaves(grads)]
+        )
+        return loss, flat
+
+    def step(self) -> dict[str, float]:
+        start_t = time.time()
+        clips = self.current_clips()
+        self.train_state, metrics = self._train_step(self.train_state, clips)
+        self.scheduler.step()
+        metrics = {
+            k: float(v) if hasattr(v, "shape") else v
+            for k, v in metrics.items()
+        }
+        metrics["train/n_filtered_cumulative"] = int(
+            self.train_state.n_filtered
+        )
+        metrics["train/time_per_step"] = time.time() - start_t
+        return metrics
+
+    @property
+    def n_steps(self) -> int:
+        return int(self.train_state.step)
+
+    def eval_params(self, use_ema=True):
+        if self.ema is not None and use_ema:
+            return self.train_state.ema_params
+        return self.train_state.params
+
+    def loss_and_grad_var(self) -> dict[str, float]:
+        losses, grads = [], []
+        clips = self.current_clips()
+        for _ in range(self.eval_stddev_steps):
+            loss, grad = self._grad_fn(
+                self.train_state.params, self.next_key(), clips
+            )
+            losses.append(loss)
+            grads.append(grad)
+        loss_var = jnp.stack(losses).var(ddof=1)
+        grads_var = jnp.stack(grads).var(axis=0, ddof=1)
+        return {
+            "eval/grad_stddev_mean": float(grads_var.mean()),
+            "eval/grad_stddev_max": float(grads_var.max()),
+            "eval/loss_stddev": float(loss_var),
+        }
+
+    def evaluate(self, use_ema=True, log=True) -> Results:
+        logging.info(
+            "Evaluate at step %d (%.0f min).", self.n_steps, self.time // 60
+        )
+        results = self.compute_results()
+        if self.eval_stddev_steps is not None:
+            results.metrics.update(self.loss_and_grad_var())
+        if log:
+            self.log(results, step=self.n_steps)
+        return results
+
+    def run(self) -> Results:
+        if self.n_steps == 0 and self.eval_init:
+            self.evaluate()
+
+        logging.info("Start training at step %d.", self.n_steps)
+        for _ in range(self.n_steps, self.train_steps):
+            t_start = time.time()
+            metrics = self.step()
+            self.time += time.time() - t_start
+            metrics.update(
+                {"train/time": self.time, "train/step": self.n_steps}
+            )
+            metrics.update(
+                {
+                    f"params/{k}": v
+                    for k, v in self.scheduler.get(self.n_steps).items()
+                }
+            )
+
+            last_step = self.n_steps == self.train_steps
+
+            if self.n_steps % self.log_interval == 0 or last_step:
+                wandb_shim.log(metrics, step=self.n_steps)
+                logging.info("Train metrics:\n%s", yaml.dump(metrics))
+                with self.metrics_file.open(mode="a") as f:
+                    f.write(json.dumps(metrics) + "\n")
+
+            if not last_step:
+                if self.n_steps % self.eval_interval == 0:
+                    self.evaluate()
+                if self.n_steps % self.ckpt_interval == 0:
+                    self.store_checkpoint(suffix=f"{self.n_steps:06}")
+
+        logging.info("Finished training at step %d.", self.n_steps)
+        return self.evaluate()
+
+    # -- checkpoint protocol --------------------------------------------------
+    def state_dict(self) -> dict:
+        state = super().state_dict()
+        state["train_state"] = ckpt_lib.to_host(
+            {
+                "params": self.train_state.params,
+                "opt_state": self.train_state.opt_state,
+                "ema_params": self.train_state.ema_params,
+                "ema_num_updates": self.train_state.ema_num_updates,
+                "step": self.train_state.step,
+                "n_steps_skip": self.train_state.n_steps_skip,
+                "n_filtered": self.train_state.n_filtered,
+                "key": self.train_state.key,
+            }
+        )
+        state["scheduled_params"] = dict(self.scheduled_params)
+        return state
+
+    def load_state_dict(self, state: dict):
+        ts = state.pop("train_state", None)
+        scheduled = state.pop("scheduled_params", None)
+        super().load_state_dict(state)
+        if ts is not None:
+            self.train_state = TrainState(
+                params=jax.tree_util.tree_map(jnp.asarray, ts["params"]),
+                opt_state=jax.tree_util.tree_map(
+                    lambda x: jnp.asarray(x) if hasattr(x, "shape") else x,
+                    ts["opt_state"],
+                ),
+                ema_params=jax.tree_util.tree_map(
+                    jnp.asarray, ts["ema_params"]
+                )
+                if ts["ema_params"] is not None
+                else None,
+                ema_num_updates=jnp.asarray(ts["ema_num_updates"]),
+                step=jnp.asarray(ts["step"]),
+                n_steps_skip=jnp.asarray(ts["n_steps_skip"]),
+                n_filtered=jnp.asarray(ts["n_filtered"]),
+                key=jnp.asarray(ts["key"]),
+            )
+        if scheduled is not None:
+            self.scheduled_params.update(scheduled)

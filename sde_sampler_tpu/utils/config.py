@@ -84,13 +84,25 @@ def del_by_path(cfg: dict, dotted: str):
 # ---------------------------------------------------------------------------
 
 _PACKAGE_RE = re.compile(r"^#\s*@package\s+(\S+)\s*$", re.MULTILINE)
+# YAML 1.1 reads `1e4` as a string; hydra/omegaconf coerce it to float.
+_NUMBER_RE = re.compile(r"^[+-]?(\d+\.?\d*|\.\d+)[eE][+-]?\d+$")
+
+
+def _coerce_numbers(value):
+    if isinstance(value, str) and _NUMBER_RE.match(value):
+        return float(value)
+    if isinstance(value, dict):
+        return {k: _coerce_numbers(v) for k, v in value.items()}
+    if isinstance(value, list):
+        return [_coerce_numbers(v) for v in value]
+    return value
 
 
 def _load_yaml(path: Path) -> tuple[dict, str | None]:
     text = path.read_text()
     match = _PACKAGE_RE.search(text)
     package = match.group(1) if match else None
-    data = yaml.safe_load(text)
+    data = _coerce_numbers(yaml.safe_load(text))
     if data is None:
         data = {}
     if not isinstance(data, (dict, list)):
@@ -145,7 +157,7 @@ class _Composer:
                 package = pkg_directive
 
         defaults = data.pop("defaults", None) if isinstance(data, dict) else None
-        body = data if isinstance(data, dict) else {"_list_": data}
+        body = data
 
         result: dict = {}
         self_merged = False
@@ -156,7 +168,10 @@ class _Composer:
                     self._merge_at(result, package, body)
                     self_merged = True
                     continue
-                sub = self._compose_default(group, package, group_spec, opt)
+                sub = self._compose_default(
+                    group, package, group_spec, opt,
+                    overridable=isinstance(entry, dict),
+                )
                 deep_merge(result, sub)
         if not self_merged:
             self._merge_at(result, package, body)
@@ -165,6 +180,7 @@ class _Composer:
     def _compose_default(
         self, parent_group: str, parent_package: str | None,
         group_spec: str, option: str | None,
+        overridable: bool = True,
     ) -> dict:
         # Split off package annotation
         if "@" in group_spec:
@@ -188,16 +204,19 @@ class _Composer:
                 option = group.split("/")[-1]
                 group = "/".join(group.split("/")[:-1])
 
-        # Apply command-line group overrides (match several spellings)
-        override_keys = [group_spec.lstrip("/"), group.replace("/", ".")]
-        if pkg_annot:
-            override_keys.append(f"{group}@{pkg_annot}".lstrip("/"))
-            override_keys.append(pkg_annot)
-        for key in override_keys:
-            if key in self.group_overrides:
-                option = self.group_overrides[key]
-                self.used_overrides.add(key)
-                break
+        # Apply command-line group overrides (match several spellings).
+        # Bare-string defaults (direct file includes like `- oc_base`) are
+        # not overridable groups in hydra semantics.
+        if overridable:
+            override_keys = [group_spec.lstrip("/"), group.replace("/", ".")]
+            if pkg_annot:
+                override_keys.append(f"{group}@{pkg_annot}".lstrip("/"))
+                override_keys.append(pkg_annot)
+            for key in override_keys:
+                if key in self.group_overrides:
+                    option = self.group_overrides[key]
+                    self.used_overrides.add(key)
+                    break
 
         if option is None or option == "null":
             return {}
@@ -219,7 +238,17 @@ class _Composer:
         return self.compose_file(group, option, package)
 
     @staticmethod
-    def _merge_at(result: dict, package: str | None, body: dict):
+    def _merge_at(result: dict, package: str | None, body):
+        if isinstance(body, list):
+            # List-bodied config files replace the value at their package.
+            if not package:
+                raise ConfigError("A list config needs a non-root package.")
+            keys = package.split(".")
+            node = result
+            for key in keys[:-1]:
+                node = node.setdefault(key, {})
+            node[keys[-1]] = copy.deepcopy(body)
+            return
         if not package:
             deep_merge(result, body)
         else:
@@ -346,12 +375,15 @@ def resolve_interpolations(cfg: dict) -> dict:
             resolving.discard(ref)
 
     def resolve_str(text: str) -> Any:
-        # Full-string single interpolation keeps the value's type
-        match = _INTERP_RE.fullmatch(text)
-        if match:
-            return resolve_ref(match.group(1))
         prev = None
         while prev != text:
+            # A full-string single interpolation keeps the value's type.
+            # Re-checked each round so nested forms like
+            # ${eval:"...${train_steps}..."} resolve to typed values once the
+            # inner references have been substituted.
+            match = _INTERP_RE.fullmatch(text)
+            if match:
+                return resolve_ref(match.group(1))
             prev = text
 
             def sub(m):
