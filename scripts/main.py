@@ -17,10 +17,15 @@ import os
 import sys
 from pathlib import Path
 
-# The environment pins JAX_PLATFORMS=axon (TPU). Respect an explicit user
-# choice, otherwise keep whatever the environment provides.
 REPO_ROOT = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO_ROOT))
+
+# Make the CPU backend available next to the TPU: all setup-time math runs
+# on host (see sde_sampler_tpu/utils/device.py). Must precede jax import.
+from sde_sampler_tpu.utils.device import ensure_cpu_backend  # noqa: E402
+
+ensure_cpu_backend()
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 
 import yaml  # noqa: E402
 

@@ -153,9 +153,12 @@ def get_metrics(
             samples, distr.domain
         )
 
-    # Sample-based losses (e.g. Sinkhorn against ground truth)
+    # Sample-based losses (e.g. Sinkhorn against ground truth). These run on
+    # the accelerator regardless of where the surrounding metric math lives.
     if sample_losses is not None:
         if hasattr(distr, "sample"):
+            from sde_sampler_tpu.utils import device as device_lib
+
             key = sample_key if sample_key is not None else jax.random.PRNGKey(0)
             gt_samples = distr.sample(key, (samples.shape[0],))
             assert gt_samples.shape == samples.shape
@@ -163,9 +166,11 @@ def get_metrics(
                 metrics["eval/frac_groundtruth_in_domain"] = frac_inside_domain(
                     gt_samples, distr.domain
                 )
+            samples_acc = device_lib.to_accelerator(jnp.asarray(samples))
+            gt_acc = device_lib.to_accelerator(jnp.asarray(gt_samples))
             metrics.update(
                 {
-                    "error/" + name: float(loss(samples, gt_samples))
+                    "error/" + name: float(loss(samples_acc, gt_acc))
                     for name, loss in sample_losses.items()
                 }
             )

@@ -157,6 +157,11 @@ class Sinkhorn:
         if abs(float(w_x.sum()) - float(w_y.sum())) > 1e-5:
             raise ValueError("Weights w_x and w_y do not sum to the same value")
 
+        # Keep every iterate on x's device so the jitted kernels compile for
+        # the accelerator even when surrounding metric math runs on host.
+        device = x.devices().pop()
+        w_x = jax.device_put(w_x, device)
+        w_y = jax.device_put(w_y, device)
         log_a = jnp.log(w_x)
         log_b = jnp.log(w_y)
         u = jnp.zeros_like(w_x)

@@ -34,6 +34,7 @@ from sde_sampler_tpu.eval.metrics import get_metrics
 from sde_sampler_tpu.eval.plots import get_plots, save_fig
 from sde_sampler_tpu.parallel import mesh as mesh_lib
 from sde_sampler_tpu.utils import ckpt as ckpt_lib
+from sde_sampler_tpu.utils import device as device_lib
 from sde_sampler_tpu.utils import wandb as wandb_shim
 from sde_sampler_tpu.utils.common import CKPT_DIR, Results
 from sde_sampler_tpu.utils.config import instantiate
@@ -291,13 +292,17 @@ class Solver:
         self.out_dir = Path(cfg.get("out_dir") or Path.cwd())
 
         seed = int(cfg.get("seed", 0))
-        self.key = jax.random.PRNGKey(seed)
+        # Host-resident PRNG chain: every next_key() split is an eager op,
+        # and eager ops on a remote-attached TPU cost ~0.5s each.
+        with device_lib.host_device():
+            self.key = jax.random.PRNGKey(seed)
 
         # Device mesh (data-parallel over all visible devices)
         self.mesh = mesh_lib.get_mesh(cfg.get("n_devices"))
 
-        # Problem
-        self.target: Distribution = instantiate(cfg["target"])
+        # Problem. Setup math runs on the CPU backend (see utils/device.py).
+        with device_lib.host_device():
+            self.target: Distribution = instantiate(cfg["target"])
 
         # Sample losses (e.g. Sinkhorn)
         self.eval_sample_losses = None
@@ -320,12 +325,14 @@ class Solver:
         self.initial_time = time.time()
 
     def next_key(self) -> jax.Array:
-        self.key, sub = jax.random.split(self.key)
+        with device_lib.host_device():
+            self.key, sub = jax.random.split(self.key)
         return sub
 
     def setup(self):
         logging.info("Setting up solver.")
-        self.target.compute_stats(self.next_key())
+        with device_lib.host_device():
+            self.target.compute_stats(self.next_key())
         self.load_checkpoint(self.ckpt_file)
         self.initialized = True
 
@@ -335,40 +342,50 @@ class Solver:
         metrics["eval/overall_time"] = time.time() - self.initial_time
 
         if results.samples is not None:
+            # One bulk device->host transfer; everything below is host math
+            # (the Sinkhorn sample loss re-uploads to the accelerator itself).
+            results = results._replace(
+                samples=np.asarray(results.samples),
+                weights=None
+                if results.weights is None
+                else np.asarray(results.weights),
+                xs=None if results.xs is None else np.asarray(results.xs),
+            )
             samples = results.samples
-            nonfinite = int((~jnp.isfinite(samples).all(axis=-1)).sum())
+            nonfinite = int((~np.isfinite(samples).all(axis=-1)).sum())
             if nonfinite > 0:
                 logging.warning("Found %d non-finite samples.", nonfinite)
 
-            if self.plot_results:
-                plots.update(
-                    get_plots(
+            with device_lib.host_device():
+                if self.plot_results:
+                    plots.update(
+                        get_plots(
+                            distr=self.target,
+                            samples=samples,
+                            weights=results.weights,
+                            ts=results.ts,
+                            xs=results.xs,
+                            marginal_dims=self.eval_marginal_dims,
+                            sample_key=self.next_key(),
+                        )
+                    )
+                    if hasattr(self.target, "plots"):
+                        plots.update(self.target.plots(samples))
+
+                metrics.update(
+                    get_metrics(
                         distr=self.target,
                         samples=samples,
                         weights=results.weights,
-                        ts=results.ts,
-                        xs=results.xs,
+                        log_norm_const_preds=results.log_norm_const_preds,
+                        expectation_preds=results.expectation_preds,
                         marginal_dims=self.eval_marginal_dims,
+                        sample_losses=self.eval_sample_losses,
                         sample_key=self.next_key(),
                     )
                 )
-                if hasattr(self.target, "plots"):
-                    plots.update(self.target.plots(samples))
-
-            metrics.update(
-                get_metrics(
-                    distr=self.target,
-                    samples=samples,
-                    weights=results.weights,
-                    log_norm_const_preds=results.log_norm_const_preds,
-                    expectation_preds=results.expectation_preds,
-                    marginal_dims=self.eval_marginal_dims,
-                    sample_losses=self.eval_sample_losses,
-                    sample_key=self.next_key(),
-                )
-            )
-            if hasattr(self.target, "metrics"):
-                metrics.update(self.target.metrics(samples))
+                if hasattr(self.target, "metrics"):
+                    metrics.update(self.target.metrics(samples))
         return metrics, plots
 
     def log(self, results: Results, step=None) -> dict:
@@ -439,8 +456,10 @@ class Trainable(Solver):
         # Dynamic (scheduled) parameters: clip thresholds etc.
         self.scheduled_params: dict[str, float] = {}
 
-        # Models (subclass responsibility; fills self.modules + init params)
-        self.setup_models()
+        # Models (subclass responsibility; fills self.modules + init params).
+        # Construction math runs on the CPU backend; see utils/device.py.
+        with device_lib.host_device():
+            self.setup_models()
 
         # Optimization config
         self.train_steps = int(cfg["train_steps"])
@@ -471,23 +490,29 @@ class Trainable(Solver):
         for sched_cfg in cfg.get("scheduler") or []:
             self.scheduler.add(instantiate(sched_cfg, obj=self))
 
-        # Train state
-        params = self.init_params()
+        # Train state (parameters initialized on host, then moved to the
+        # accelerator so the jitted hot loops compile for it)
+        with device_lib.host_device():
+            params = self.init_params()
+            opt_state = self.optimizer.init(params)
+            ema_params = params if self.ema else None
+            state = TrainState(
+                params=params,
+                opt_state=opt_state,
+                ema_params=ema_params,
+                ema_num_updates=jnp.zeros((), jnp.int32),
+                step=jnp.zeros((), jnp.int32),
+                n_steps_skip=jnp.zeros((), jnp.int32),
+                n_filtered=jnp.zeros((), jnp.int32),
+                key=self.next_key(),
+            )
         if self.mesh is not None:
-            params = mesh_lib.replicate(params, self.mesh)
-        ema_params = params if self.ema else None
-        self.train_state = TrainState(
-            params=params,
-            opt_state=self.optimizer.init(params),
-            ema_params=ema_params,
-            ema_num_updates=jnp.zeros((), jnp.int32),
-            step=jnp.zeros((), jnp.int32),
-            n_steps_skip=jnp.zeros((), jnp.int32),
-            n_filtered=jnp.zeros((), jnp.int32),
-            key=self.next_key(),
-        )
+            self.train_state = mesh_lib.replicate(state, self.mesh)
+        else:
+            self.train_state = device_lib.to_accelerator(state)
 
         # Evaluation / logging cadence
+        self._host_step = 0
         self.time = 0.0
         self.eval_stddev_steps = cfg.get("eval_stddev_steps")
         self.eval_init = cfg.get("eval_init", True)
@@ -550,12 +575,23 @@ class Trainable(Solver):
                 self.scheduled_params[f"{name}.{attr}"] = float(value)
 
     def current_clips(self) -> dict:
-        """Nested {module_name: {clip_attr: jnp scalar}} for jit consumption."""
-        clips: dict[str, dict] = {}
-        for dotted, value in self.scheduled_params.items():
-            mod, attr = dotted.split(".", 1)
-            clips.setdefault(mod, {})[attr] = jnp.asarray(value, jnp.float32)
-        return clips
+        """Nested {module_name: {clip_attr: jnp scalar}} for jit consumption.
+
+        Cached: the host->device transfer of the scalars only happens when a
+        scheduled value actually changed (a per-step transfer costs ~10-100ms
+        over a remote-tunnel TPU attachment).
+        """
+        snapshot = dict(self.scheduled_params)
+        if getattr(self, "_clips_snapshot", None) != snapshot:
+            clips: dict[str, dict] = {}
+            for dotted, value in snapshot.items():
+                mod, attr = dotted.split(".", 1)
+                clips.setdefault(mod, {})[attr] = jnp.asarray(
+                    value, jnp.float32
+                )
+            self._clips_cache = clips
+            self._clips_snapshot = snapshot
+        return self._clips_cache
 
     # -- training ------------------------------------------------------------
     def _make_train_step_impl(self, loss_traced):
@@ -654,24 +690,22 @@ class Trainable(Solver):
         )
         return loss, flat
 
-    def step(self) -> dict[str, float]:
+    def step(self) -> dict:
+        """One training step. Returned metrics stay on device — pulling them
+        to host every step would serialize on a device round trip; the run
+        loop converts them only at log boundaries."""
         start_t = time.time()
         clips = self.current_clips()
         self.train_state, metrics = self._train_step(self.train_state, clips)
+        self._host_step += 1
         self.scheduler.step()
-        metrics = {
-            k: float(v) if hasattr(v, "shape") else v
-            for k, v in metrics.items()
-        }
-        metrics["train/n_filtered_cumulative"] = int(
-            self.train_state.n_filtered
-        )
         metrics["train/time_per_step"] = time.time() - start_t
         return metrics
 
     @property
     def n_steps(self) -> int:
-        return int(self.train_state.step)
+        # host-side mirror of train_state.step (no device round trip)
+        return self._host_step
 
     def eval_params(self, use_ema=True):
         if self.ema is not None and use_ema:
@@ -728,6 +762,13 @@ class Trainable(Solver):
             last_step = self.n_steps == self.train_steps
 
             if self.n_steps % self.log_interval == 0 or last_step:
+                metrics = {
+                    k: float(v) if hasattr(v, "shape") else v
+                    for k, v in metrics.items()
+                }
+                metrics["train/n_filtered_cumulative"] = int(
+                    self.train_state.n_filtered
+                )
                 wandb_shim.log(metrics, step=self.n_steps)
                 logging.info("Train metrics:\n%s", yaml.dump(metrics))
                 with self.metrics_file.open(mode="a") as f:
@@ -784,3 +825,4 @@ class Trainable(Solver):
             )
         if scheduled is not None:
             self.scheduled_params.update(scheduled)
+        self._host_step = int(self.train_state.step)

@@ -31,6 +31,7 @@ from sde_sampler_tpu.eval.plots import get_plots
 from sde_sampler_tpu.losses.oc import BaseOCLoss
 from sde_sampler_tpu.parallel import mesh as mesh_lib
 from sde_sampler_tpu.solver.base import Trainable
+from sde_sampler_tpu.utils import device as device_lib
 from sde_sampler_tpu.utils.common import Results, clip_norm
 from sde_sampler_tpu.utils.config import instantiate
 
@@ -41,13 +42,12 @@ class TrainableDiff(Trainable):
     def __init__(self, cfg: dict):
         super().__init__(cfg=cfg)
 
-        # Train
+        # Train (timestep grids are setup-time constants -> host backend)
         self.train_batch_size: int = cfg["train_batch_size"]
-        self.train_ts = instantiate(cfg["train_timesteps"])()
+        with device_lib.host_device():
+            self.train_ts = instantiate(cfg["train_timesteps"])()
+            self.eval_ts = instantiate(cfg["eval_timesteps"])()
         self.clip_target = cfg.get("clip_target")
-
-        # Eval
-        self.eval_ts = instantiate(cfg["eval_timesteps"])()
         self.eval_batch_size: int = cfg["eval_batch_size"]
         self.traj_batch_size: int = min(
             cfg.get("traj_batch_size", 512), self.eval_batch_size
@@ -493,13 +493,7 @@ class SubtrajBridge(Bridge):
             self.train_state, clips,
             jnp.asarray(idx_init), jnp.asarray(idx_end),
         )
+        self._host_step += 1
         self.scheduler.step()
-        metrics = {
-            k: float(v) if hasattr(v, "shape") else v
-            for k, v in metrics.items()
-        }
-        metrics["train/n_filtered_cumulative"] = int(
-            self.train_state.n_filtered
-        )
         metrics["train/time_per_step"] = time.time() - start_t
         return metrics

@@ -290,9 +290,15 @@ def compose(
         # A group override: the key (or its first component) names a config
         # group directory and the value names a yaml file in it.
         group_key = key.replace(".", "/").split("@")[0]
-        if mode == "set" and (config_dir / group_key).is_dir() and (
-            config_dir / group_key / f"{raw}.yaml"
-        ).exists():
+        if mode == "set" and (config_dir / group_key).is_dir():
+            if not (config_dir / group_key / f"{raw}.yaml").exists():
+                avail = sorted(
+                    p.stem for p in (config_dir / group_key).glob("*.yaml")
+                )
+                raise ConfigError(
+                    f"Could not find '{raw}' in config group '{group_key}'. "
+                    f"Available options: {avail}"
+                )
             group_overrides[key] = raw
         else:
             value_overrides.append((mode, key, _parse_override_value(raw)))

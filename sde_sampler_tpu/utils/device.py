@@ -1,0 +1,51 @@
+"""Device-placement policy for setup-time vs hot-path computation.
+
+On a remote-attached TPU (axon tunnel), every eager op costs a host↔device
+round trip, and jit-compiling a function whose closed-over constants live on
+the TPU forces the constant values to be pulled back to host first (measured
+~20s per small compile vs ~0.4s with host-resident constants). Policy:
+
+- All one-time setup math (distribution constants, timestep grids, parameter
+  init, reference statistics) runs on the CPU backend via `host_device()`.
+- The resulting arrays are embedded as constants when the hot loops are
+  jitted for the TPU; only the TrainState lives on the accelerator
+  (`to_accelerator`).
+
+Entry points should extend JAX_PLATFORMS to "axon,cpu" (see
+`ensure_cpu_backend`) so the CPU backend co-exists with the TPU.
+"""
+from __future__ import annotations
+
+import contextlib
+import os
+
+
+def ensure_cpu_backend():
+    """Append 'cpu' to JAX_PLATFORMS before jax initializes its backends."""
+    platforms = os.environ.get("JAX_PLATFORMS", "")
+    if platforms and "cpu" not in platforms.split(","):
+        os.environ["JAX_PLATFORMS"] = platforms + ",cpu"
+
+
+def host_device():
+    """Context manager placing eager computation on the CPU backend."""
+    import jax
+
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+    except RuntimeError:
+        return contextlib.nullcontext()
+    return jax.default_device(cpu)
+
+
+def accelerator():
+    import jax
+
+    return jax.devices()[0]
+
+
+def to_accelerator(tree):
+    """Move a pytree to the default accelerator device."""
+    import jax
+
+    return jax.device_put(tree, accelerator())
