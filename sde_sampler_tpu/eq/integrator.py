@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from sde_sampler_tpu.eq.sdes import SDE
 from sde_sampler_tpu.utils.common import get_timesteps
@@ -60,8 +61,10 @@ class EulerIntegrator(Integrator):
         timesteps: jnp.ndarray | None = None,
     ) -> jnp.ndarray:
         if timesteps is None:
+            # ts is a concrete (setup-time) grid even under jit tracing
+            ts_host = np.asarray(ts)
             timesteps = get_timesteps(
-                float(ts[0]), float(ts[-1]),
+                float(ts_host[0]), float(ts_host[-1]),
                 dt=self.dt, steps=self.steps, rescale_t=self.rescale_t,
             )
 
@@ -96,8 +99,9 @@ class HeunIntegrator(Integrator):
 
     def integrate(self, sde, ts, x_init, key, timesteps=None):
         if timesteps is None:
+            ts_host = np.asarray(ts)
             timesteps = get_timesteps(
-                float(ts[0]), float(ts[-1]),
+                float(ts_host[0]), float(ts_host[-1]),
                 dt=self.dt, steps=self.steps, rescale_t=self.rescale_t,
             )
 

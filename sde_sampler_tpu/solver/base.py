@@ -495,7 +495,11 @@ class Trainable(Solver):
         with device_lib.host_device():
             params = self.init_params()
             opt_state = self.optimizer.init(params)
-            ema_params = params if self.ema else None
+            # distinct buffers: the train step donates the whole state, and
+            # aliased params/ema leaves would be donated twice
+            ema_params = (
+                jax.tree_util.tree_map(jnp.copy, params) if self.ema else None
+            )
             state = TrainState(
                 params=params,
                 opt_state=opt_state,
