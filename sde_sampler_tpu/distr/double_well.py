@@ -70,6 +70,30 @@ class DoubleWell(Distribution):
             scaling=self.rejection_sampling_scaling,
         )
 
+    def plots(self, samples, nbins: int = 100) -> dict:
+        """Rejection-sampling diagnostic: histogram vs scaled proposal."""
+        import numpy as np
+
+        from sde_sampler_tpu.eval.plots import plot_marginal
+
+        gt = self.sample(jax.random.PRNGKey(0), (samples.shape[0],))
+        fig = plot_marginal(
+            x=gt,
+            marginal=lambda x, **kw: self.pdf(jnp.asarray(x)),
+            dim=0,
+            nbins=nbins,
+            domain=self.domain,
+        )
+        ax = fig.axes[0]
+        x = np.linspace(*np.asarray(self.domain)[0], nbins)
+        y = (
+            np.asarray(self.get_proposal_distr().pdf(jnp.asarray(x[:, None])))
+            * self.rejection_sampling_scaling
+        )
+        ax.plot(x, y.squeeze(-1), "r--", label="proposal")
+        ax.legend()
+        return {"plots/rejection_sampling": fig}
+
 
 class MultiWell(Distribution):
     """Product of `n_double_wells` quartic wells and (d-k) unit Gaussians."""

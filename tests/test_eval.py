@@ -1,0 +1,153 @@
+"""Evaluation stack tests: Sinkhorn, metrics self-consistency, plots.
+
+Mirrors the reference's metric self-consistency oracle
+(tests/distr_eval.py:57-126): on ground-truth samples, direct errors vanish,
+Sinkhorn between two ground-truth draws is small, IS weights that are
+uniform reproduce the unweighted estimates.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sde_sampler_tpu.distr.gauss import GMM, IsotropicGauss
+from sde_sampler_tpu.eval.metrics import get_metrics
+from sde_sampler_tpu.eval.sinkhorn import Sinkhorn
+
+
+def test_sinkhorn_matches_dense_reference():
+    """Chunked streamed Sinkhorn == dense log-domain Sinkhorn (small case)."""
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (96, 2))
+    y = jax.random.normal(jax.random.fold_in(key, 1), (96, 2)) + 0.5
+
+    eps, iters = 1e-2, 200
+    chunked = Sinkhorn(eps=eps, max_iters=iters, stop_thresh=1e-9,
+                       row_chunk=32, col_chunk=32)(x, y)
+
+    # dense reference implementation
+    m = jnp.sqrt(
+        jnp.clip(
+            (x**2).sum(-1)[:, None] + (y**2).sum(-1)[None, :]
+            - 2 * x @ y.T, 0, None,
+        )
+    )
+    n = x.shape[0]
+    log_a = jnp.log(jnp.ones(n) / n)
+    log_b = log_a
+    u = jnp.zeros(n)
+    v = eps * jnp.log(jnp.ones(n) / n)
+    for _ in range(iters):
+        u = eps * (log_a - jax.nn.logsumexp((-m + v[None, :]) / eps, axis=1))
+        v = eps * (log_b - jax.nn.logsumexp((-m + u[:, None]) / eps, axis=0))
+    plan = jnp.exp((-m + u[:, None] + v[None, :]) / eps)
+    dense = (plan * m).sum()
+
+    assert float(chunked) == pytest.approx(float(dense), rel=1e-3)
+
+
+def test_sinkhorn_identical_clouds_near_zero():
+    x = jax.random.normal(jax.random.PRNGKey(0), (256, 2))
+    d = Sinkhorn(eps=1e-3, max_iters=100)(x, x)
+    assert float(d) < 0.05
+
+
+def test_sinkhorn_n_max_subsampling():
+    x = jax.random.normal(jax.random.PRNGKey(0), (500, 3))
+    y = jax.random.normal(jax.random.PRNGKey(1), (500, 3))
+    full = Sinkhorn(eps=1e-2, max_iters=20)
+    capped = Sinkhorn(eps=1e-2, max_iters=20, n_max=100)
+    assert np.isfinite(float(capped(x, y)))
+    assert np.isfinite(float(full(x, y)))
+
+
+def test_metrics_self_consistency_on_groundtruth():
+    distr = GMM(name="grid", n_reference_samples=500_000)
+    distr.compute_stats(jax.random.PRNGKey(0))
+    samples = distr.sample(jax.random.PRNGKey(1), (200_000,))
+    uniform_weights = jnp.ones((samples.shape[0], 1))
+    metrics = get_metrics(
+        distr=distr,
+        samples=samples,
+        weights=uniform_weights,
+        log_norm_const_preds={"log_norm_const_is": 0.0},
+        expectation_preds={"square": distr.expectations["square"]},
+        marginal_dims=[0, 1],
+        sample_losses={"sinkhorn": Sinkhorn(max_iters=20, n_max=2000)},
+        sample_key=jax.random.PRNGKey(2),
+    )
+    # exact direct predictions => zero error
+    assert metrics["error/square_direct"] == pytest.approx(0.0, abs=1e-6)
+    assert metrics["error/log_norm_const_is"] == 0.0
+    # ground-truth samples => small relative errors
+    for name in ["square", "abs"]:
+        if abs(metrics[f"eval/{name}"]) > 0.1:
+            assert metrics[f"rel_error/{name}"] < 0.15
+    # uniform IS weights reproduce the unweighted estimates
+    assert metrics["eval/square_is"] == pytest.approx(
+        metrics["eval/square"], abs=1e-4
+    )
+    # full ESS under uniform weights
+    assert metrics["eval/norm_effective_sample_size"] == pytest.approx(1.0)
+    assert metrics["eval/frac_pred_in_domain"] > 0.9
+    assert metrics["error/sinkhorn"] < 0.5
+
+
+def test_img_target():
+    from sde_sampler_tpu.distr.img import Img
+
+    img = Img(n_reference_samples=10_000)
+    samples = img.sample(jax.random.PRNGKey(0), (5_000,))
+    assert samples.shape == (5_000, 2)
+    lp = img.unnorm_log_prob(samples)
+    assert lp.shape == (5_000, 1)
+    assert bool(jnp.isfinite(lp).all())
+    # density is higher at typical samples than far outside
+    outside = jnp.full((10, 2), 10.0)
+    assert float(img.unnorm_log_prob(outside).max()) < float(lp.mean())
+
+
+def test_nice_flow_invertibility_and_logprob():
+    from sde_sampler_tpu.distr import nice as nice_lib
+
+    params = nice_lib.init_nice_params(
+        jax.random.PRNGKey(0), in_out_dim=8, mid_dim=16, hidden=2, coupling=4
+    )
+    x = jax.random.normal(jax.random.PRNGKey(1), (32, 8))
+    z, log_det = nice_lib.nice_f(params, x)
+    x_rec = nice_lib.nice_g(params, z)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(x_rec), atol=1e-4)
+    # log-prob matches change of variables against the logistic base
+    lp = nice_lib.nice_log_prob(params, x)
+    base = nice_lib.StandardLogistic.log_prob(z).sum(axis=1)
+    np.testing.assert_allclose(
+        np.asarray(lp), np.asarray(base + log_det), rtol=1e-5
+    )
+
+
+def test_nice_target_random_flow():
+    from sde_sampler_tpu.distr.nice import Nice
+
+    target = Nice(checkpoint="/nonexistent/nice.npz", n_reference_samples=1000)
+    samples = target.sample(jax.random.PRNGKey(0), (64,))
+    assert samples.shape == (64, 196)
+    lp = target.unnorm_log_prob(samples)
+    assert bool(jnp.isfinite(lp).all())
+    # autodiff score works through the flow
+    score = target.score(samples[:4])
+    assert score.shape == (4, 196)
+    assert bool(jnp.isfinite(score).all())
+
+
+def test_filter_chirality_shapes():
+    from sde_sampler_tpu.distr.aladip import filter_chirality
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (128, 60))
+    mask = filter_chirality(x)
+    assert mask.shape == (128, 1)
+    assert mask.dtype == bool
+    # construct an exactly-L-form sample: diff == mean_diff
+    x_l = x.at[:, 17].set(0.0).at[:, 26].set(0.043)
+    assert bool(filter_chirality(x_l).all())
+    x_d = x.at[:, 17].set(0.0).at[:, 26].set(-2.0)
+    assert not bool(filter_chirality(x_d).any())
