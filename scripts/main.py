@@ -33,8 +33,35 @@ from sde_sampler_tpu.utils import wandb as wandb_shim  # noqa: E402
 from sde_sampler_tpu.utils.config import compose, locate  # noqa: E402
 
 
+def _expand_multirun(overrides: list[str]) -> list[list[str]]:
+    """Cartesian product over comma-separated override values (hydra -m)."""
+    import itertools
+
+    choices = []
+    for ov in overrides:
+        if "=" in ov and "," in ov.split("=", 1)[1]:
+            key, _, values = ov.partition("=")
+            choices.append([f"{key}={v}" for v in values.split(",")])
+        else:
+            choices.append([ov])
+    return [list(combo) for combo in itertools.product(*choices)]
+
+
 def main(argv: list[str] | None = None):
     overrides = list(argv if argv is not None else sys.argv[1:])
+
+    multirun = False
+    for flag in ("-m", "--multirun"):
+        if flag in overrides:
+            overrides.remove(flag)
+            multirun = True
+    if multirun:
+        jobs = _expand_multirun(overrides)
+        results = []
+        for i, job in enumerate(jobs):
+            print(f"[multirun {i + 1}/{len(jobs)}] {' '.join(job)}")
+            results.append(main(job + [f"+job_id={i}"]))
+        return results
 
     cfg = compose(REPO_ROOT / "conf", "base", overrides)
 

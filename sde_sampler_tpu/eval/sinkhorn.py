@@ -116,6 +116,7 @@ class Sinkhorn:
         n_max: int | None = None,
         row_chunk: int = 1024,
         col_chunk: int = 8192,
+        backend: str = "auto",  # "auto" | "pallas" | "xla"
         **kwargs,
     ):
         if not isinstance(p, int):
@@ -136,6 +137,22 @@ class Sinkhorn:
         self.verbose = verbose
         self.row_chunk = row_chunk
         self.col_chunk = col_chunk
+        self.backend = backend
+
+    def _use_pallas(self, x, y) -> bool:
+        if self.backend == "xla":
+            return False
+        import jax as _jax
+
+        from sde_sampler_tpu.ops import sinkhorn_pallas as sp
+
+        on_tpu = "tpu" in str(next(iter(x.devices()))).lower() or (
+            _jax.default_backend() not in ("cpu",)
+        )
+        ok = sp.pallas_applicable(x.shape[0], y.shape[0], x.shape[1], self.p)
+        if self.backend == "pallas":
+            return ok
+        return ok and on_tpu
 
     def compute(self, x, y, w_x=None, w_y=None):
         x = jnp.asarray(x, dtype=jnp.float32)
@@ -167,15 +184,24 @@ class Sinkhorn:
         u = jnp.zeros_like(w_x)
         v = self.eps * jnp.log(w_y)
 
-        chunks = dict(
-            p=self.p,
-            row_chunk=min(self.row_chunk, x.shape[0]),
-            col_chunk=min(self.col_chunk, y.shape[0]),
-        )
+        if self._use_pallas(x, y):
+            from sde_sampler_tpu.ops import sinkhorn_pallas as sp
+
+            softmin = lambda a, b, dual: sp.softmin_pallas(a, b, dual, self.eps)
+            transport = lambda: sp.transport_cost_pallas(x, y, u, v, self.eps)
+        else:
+            chunks = dict(
+                p=self.p,
+                row_chunk=min(self.row_chunk, x.shape[0]),
+                col_chunk=min(self.col_chunk, y.shape[0]),
+            )
+            softmin = lambda a, b, dual: _softmin(a, b, dual, self.eps, **chunks)
+            transport = lambda: _transport_cost(x, y, u, v, self.eps, **chunks)
+
         for it in range(self.max_iters):
             u_prev, v_prev = u, v
-            u = log_a * self.eps - _softmin(x, y, v, self.eps, **chunks)
-            v = log_b * self.eps - _softmin(y, x, u, self.eps, **chunks)
+            u = log_a * self.eps - softmin(x, y, v)
+            v = log_b * self.eps - softmin(y, x, u)
             max_err = max(
                 float(jnp.abs(u_prev - u).max()),
                 float(jnp.abs(v_prev - v).max()),
@@ -185,7 +211,7 @@ class Sinkhorn:
             if max_err < self.stop_thresh:
                 break
 
-        return _transport_cost(x, y, u, v, self.eps, **chunks)
+        return transport()
 
     def __call__(self, x, y, w_x=None, w_y=None):
         if self.n_max is not None:

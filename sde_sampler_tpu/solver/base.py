@@ -291,6 +291,10 @@ class Solver:
         self.cfg = cfg
         self.out_dir = Path(cfg.get("out_dir") or Path.cwd())
 
+        # Setup hooks (e.g. conf/utils/debug.yaml -> jax_debug_nans)
+        for fn_cfg in cfg.get("setup") or []:
+            instantiate(fn_cfg)
+
         seed = int(cfg.get("seed", 0))
         # Host-resident PRNG chain: every next_key() split is an eager op,
         # and eager ops on a remote-attached TPU cost ~0.5s each.
@@ -749,7 +753,16 @@ class Trainable(Solver):
             self.evaluate()
 
         logging.info("Start training at step %d.", self.n_steps)
+        # Optional jax.profiler trace window (cfg: profile_start/profile_steps)
+        profile_start = self.cfg.get("profile_start")
+        profile_steps = self.cfg.get("profile_steps", 10)
         for _ in range(self.n_steps, self.train_steps):
+            if profile_start is not None:
+                if self.n_steps == profile_start:
+                    jax.profiler.start_trace(str(self.out_dir / "profile"))
+                elif self.n_steps == profile_start + profile_steps:
+                    jax.block_until_ready(self.train_state.params)
+                    jax.profiler.stop_trace()
             t_start = time.time()
             metrics = self.step()
             self.time += time.time() - t_start
