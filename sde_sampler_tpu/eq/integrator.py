@@ -65,7 +65,8 @@ class EulerIntegrator(Integrator):
             ts_host = np.asarray(ts)
             timesteps = get_timesteps(
                 float(ts_host[0]), float(ts_host[-1]),
-                dt=self.dt, steps=self.steps, rescale_t=self.rescale_t,
+                dt=self.dt if self.steps is None else None,
+                steps=self.steps, rescale_t=self.rescale_t,
             )
 
         def step(carry, inp):
@@ -102,7 +103,8 @@ class HeunIntegrator(Integrator):
             ts_host = np.asarray(ts)
             timesteps = get_timesteps(
                 float(ts_host[0]), float(ts_host[-1]),
-                dt=self.dt, steps=self.steps, rescale_t=self.rescale_t,
+                dt=self.dt if self.steps is None else None,
+                steps=self.steps, rescale_t=self.rescale_t,
             )
 
         def step(carry, inp):

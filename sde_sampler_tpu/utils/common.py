@@ -34,25 +34,30 @@ def get_timesteps(
     Spacings: None (uniform), "quad" (sqrt of uniform grid on squared times)
     and "cosine" (DDS cos^4 schedule, reference utils/common.py:36-54).
     """
+    import numpy as np
+
     if (steps is None) is (dt is None):
         raise ValueError("Exactly one of `dt` and `steps` should be defined.")
     if steps is None:
         steps = int(math.ceil((end - start) / dt))
+    # Grids are setup-time constants: build them in float64 numpy so the
+    # cosine-schedule cumsum stays strictly monotone, then cast.
     if rescale_t is None:
-        return jnp.linspace(start, end, steps + 1, dtype=dtype)
-    if rescale_t == "quad":
-        grid = jnp.linspace(start, end**2, steps + 1, dtype=dtype)
-        return jnp.clip(jnp.sqrt(grid), max=end)
-    if rescale_t == "cosine":
-        s = 0.008  # shift from the original cosine-schedule paper
-        pre_phase = jnp.linspace(start, end, steps + 1, dtype=dtype) / end
-        phase = ((pre_phase + s) / (1 + s)) * jnp.pi * 0.5
-        dts = jnp.cos(phase) ** 4
-        dts = dts / dts.sum() * end
-        return jnp.concatenate(
-            [jnp.asarray([start], dtype=dtype), jnp.cumsum(dts)]
+        grid = np.linspace(start, end, steps + 1)
+    elif rescale_t == "quad":
+        grid = np.clip(
+            np.sqrt(np.linspace(start, end**2, steps + 1)), None, end
         )
-    raise ValueError("Unknown timestep rescaling method.")
+    elif rescale_t == "cosine":
+        s = 0.008  # shift from the original cosine-schedule paper
+        pre_phase = np.linspace(start, end, steps + 1) / end
+        phase = ((pre_phase + s) / (1 + s)) * np.pi * 0.5
+        dts = np.cos(phase) ** 4
+        dts = dts / dts.sum() * end
+        grid = np.concatenate([[start], start + np.cumsum(dts)])
+    else:
+        raise ValueError("Unknown timestep rescaling method.")
+    return jnp.asarray(grid, dtype=dtype)
 
 
 def clip_norm(tensor: jnp.ndarray, max_norm: float | None) -> jnp.ndarray:

