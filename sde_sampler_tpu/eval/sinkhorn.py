@@ -140,19 +140,17 @@ class Sinkhorn:
         self.backend = backend
 
     def _use_pallas(self, x, y) -> bool:
-        if self.backend == "xla":
+        # The Mosaic kernels are opt-in (backend="pallas"): on
+        # remote-attached TPU tunnels a crashed kernel can wedge the device,
+        # and the chunked-XLA path already rides the MXU, so it is the safe
+        # default ("auto" == "xla" until pallas is validated on the target).
+        if self.backend != "pallas":
             return False
-        import jax as _jax
-
         from sde_sampler_tpu.ops import sinkhorn_pallas as sp
 
-        on_tpu = "tpu" in str(next(iter(x.devices()))).lower() or (
-            _jax.default_backend() not in ("cpu",)
+        return sp.pallas_applicable(
+            x.shape[0], y.shape[0], x.shape[1], self.p
         )
-        ok = sp.pallas_applicable(x.shape[0], y.shape[0], x.shape[1], self.p)
-        if self.backend == "pallas":
-            return ok
-        return ok and on_tpu
 
     def compute(self, x, y, w_x=None, w_y=None):
         x = jnp.asarray(x, dtype=jnp.float32)

@@ -197,6 +197,7 @@ class TrainableDiff(Trainable):
         )
         inference_sde = self.inference_sde
         if self.inference_ctrl is not None:
+            # re-bind the controlled inference SDE with the current params
             inference_sde = ControlledSDE(
                 sde=self.inference_base_sde,
                 ctrl=self.ctrl_fn(
@@ -205,8 +206,6 @@ class TrainableDiff(Trainable):
                     clips.get("inference_ctrl"),
                 ),
             )
-        elif isinstance(inference_sde, ControlledSDE):
-            pass
         ts = self.eval_ts
         xs = jax.jit(
             lambda key, x: self.eval_integrator.integrate(
