@@ -82,8 +82,8 @@ class Funnel(Distribution):
         n_mc = min(self.n_reference_samples or 10**6, 10**6)
         samples_first = self.distr_first.sample(
             jax.random.PRNGKey(0), (n_mc, 1)
-        )
-        log_prob = self.log_prob_other(x[None], samples_first[:, None, :])
+        )  # (n_mc, 1, 1): broadcasts against the (Q, 1) query points
+        log_prob = self.log_prob_other(x, samples_first)
         return jnp.exp(log_prob).mean(axis=0)
 
     def sample(self, key: jax.Array, shape: tuple | None = None) -> jnp.ndarray:

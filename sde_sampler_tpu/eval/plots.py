@@ -123,7 +123,7 @@ def plot_marginal(
     if marginal is not None:
         xlin = np.linspace(*rng, nbins)
         marginal_eval = _np(marginal(xlin.reshape(-1, 1), dim=dim))
-        ax.plot(xlin, marginal_eval.squeeze(-1), "k-", label="marginal")
+        ax.plot(xlin, marginal_eval.reshape(-1), "k-", label="marginal")
     ax.legend()
     ax.set_xlabel(rf"$x_{dim + 1:d}$")
     return fig
