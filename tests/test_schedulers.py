@@ -134,3 +134,20 @@ def test_traj_per_sample_lv_traj(tmp_path):
     metrics = solver.step()
     loss = float(metrics["train/loss"])
     assert np.isfinite(loss) and loss >= 0
+
+
+def test_kl_ito_method(tmp_path):
+    cfg = compose(
+        CONF, "base",
+        [
+            "solver=basic_dis", "target=dw_shift", "loss.method=kl_ito",
+            "train_steps=2", "train_batch_size=8",
+            "train_timesteps.steps=4", "eval_batch_size=8",
+            "eval_interval=1000", "eval_init=False", "plot_results=False",
+            "store_last_ckpt=False", "~eval_sample_losses",
+            f"out_dir={tmp_path}",
+        ],
+    )
+    solver = locate(cfg["solver"]["_target_"])(cfg)
+    metrics = solver.step()
+    assert np.isfinite(float(metrics["train/loss"]))
