@@ -84,6 +84,12 @@ class Img(Distribution):
         self.log_density_flat = jnp.asarray(
             np.log(density_normed.flatten()), dtype=jnp.float32
         )
+        # inverse-CDF sampling table: jax.random.categorical would
+        # materialize an (n_samples, n_pixels) gumbel tensor (~2TB at the
+        # reference's 1e6 samples x 490k pixels)
+        self.density_cdf = jnp.asarray(
+            np.cumsum(density_normed.flatten()), dtype=jnp.float32
+        )
         self.pixel_energy = jnp.asarray(energy, dtype=jnp.float32)
         self.maxindex_x = self.pixel_energy.shape[1] - 1
         self.maxindex_y = self.pixel_energy.shape[0] - 1
@@ -124,7 +130,11 @@ class Img(Distribution):
         shape = tuple(shape or ())
         n = math.prod(shape)
         key_cat, key_unif = jax.random.split(key)
-        i = jax.random.categorical(key_cat, self.log_density_flat, shape=(n,))
+        u = jax.random.uniform(key_cat, (n,))
+        i = jnp.clip(
+            jnp.searchsorted(self.density_cdf, u, side="right"),
+            0, self.density_cdf.shape[0] - 1,
+        )
         ixy = self.idx[i].reshape(*shape, 2).astype(jnp.float32)
         xy = ixy + jax.random.uniform(key_unif, (*shape, 2)) - 0.5
         return (xy - self.mean) / self.scale
