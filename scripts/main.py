@@ -59,6 +59,12 @@ def main(argv: list[str] | None = None):
         jobs = _expand_multirun(overrides)
         results = []
         for i, job in enumerate(jobs):
+            # per-job output subdirectory (hydra sweep-dir semantics)
+            job = [
+                f"out_dir={ov.split('=', 1)[1]}/job{i}"
+                if ov.startswith("out_dir=") else ov
+                for ov in job
+            ]
             print(f"[multirun {i + 1}/{len(jobs)}] {' '.join(job)}")
             results.append(main(job + [f"+job_id={i}"]))
         return results
