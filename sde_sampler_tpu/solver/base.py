@@ -534,6 +534,12 @@ class Trainable(Solver):
         )
         self._grad_fn = jax.jit(self._loss_and_grad_impl)
 
+        # Optional step chunking: run k optimizer steps per dispatch with a
+        # lax.fori_loop (amortizes host overhead; RNG stream is identical to
+        # k sequential single steps). Off by default (steps_per_call=1).
+        self.steps_per_call = int(cfg.get("steps_per_call") or 1)
+        self._chunk_jits: dict[int, tp.Callable] = {}
+
         n_params = sum(
             int(np.prod(p.shape))
             for p in jax.tree_util.tree_leaves(self.train_state.params)
@@ -710,6 +716,50 @@ class Trainable(Solver):
         metrics["train/time_per_step"] = time.time() - start_t
         return metrics
 
+    def _chunk_fn(self, n: int):
+        if n not in self._chunk_jits:
+            body = self._make_train_step_impl(self.compute_loss_traced)
+
+            def impl(state, clips):
+                state, metrics = body(state, clips)
+                return jax.lax.fori_loop(
+                    0, n - 1, lambda i, carry: body(carry[0], clips),
+                    (state, metrics),
+                )
+
+            self._chunk_jits[n] = jax.jit(impl, donate_argnums=(0,))
+        return self._chunk_jits[n]
+
+    def step_chunk(self, n: int) -> dict:
+        """Run n training steps in one dispatch; returns the last metrics."""
+        if n == 1:
+            return self.step()
+        start_t = time.time()
+        clips = self.current_clips()
+        self.train_state, metrics = self._chunk_fn(n)(self.train_state, clips)
+        self._host_step += n
+        for _ in range(n):
+            self.scheduler.step()
+        metrics["train/time_per_step"] = (time.time() - start_t) / n
+        return metrics
+
+    def _next_chunk_size(self) -> int:
+        """Steps until the next log/eval/ckpt/milestone boundary."""
+        n = min(self.steps_per_call, self.train_steps - self.n_steps)
+        for interval in (self.log_interval, self.eval_interval,
+                         self.ckpt_interval):
+            if interval:
+                n = min(n, interval - self.n_steps % interval)
+        for sched in self.scheduler.param_schedulers:
+            future = [
+                m - sched.last_step
+                for m in sched.milestones
+                if m > sched.last_step
+            ]
+            if future:
+                n = min(n, min(future))
+        return max(n, 1)
+
     @property
     def n_steps(self) -> int:
         # host-side mirror of train_state.step (no device round trip)
@@ -756,15 +806,16 @@ class Trainable(Solver):
         # Optional jax.profiler trace window (cfg: profile_start/profile_steps)
         profile_start = self.cfg.get("profile_start")
         profile_steps = self.cfg.get("profile_steps", 10)
-        for _ in range(self.n_steps, self.train_steps):
+        while self.n_steps < self.train_steps:
             if profile_start is not None:
                 if self.n_steps == profile_start:
                     jax.profiler.start_trace(str(self.out_dir / "profile"))
-                elif self.n_steps == profile_start + profile_steps:
+                elif self.n_steps >= profile_start + profile_steps:
                     jax.block_until_ready(self.train_state.params)
                     jax.profiler.stop_trace()
+                    profile_start = None
             t_start = time.time()
-            metrics = self.step()
+            metrics = self.step_chunk(self._next_chunk_size())
             self.time += time.time() - t_start
             metrics.update(
                 {"train/time": self.time, "train/step": self.n_steps}

@@ -151,3 +151,31 @@ def test_kl_ito_method(tmp_path):
     solver = locate(cfg["solver"]["_target_"])(cfg)
     metrics = solver.step()
     assert np.isfinite(float(metrics["train/loss"]))
+
+
+def test_step_chunking_matches_sequential(tmp_path):
+    base = [
+        "solver=basic_dis", "target=dw_shift", "loss.method=lv",
+        "train_steps=6", "train_batch_size=8", "train_timesteps.steps=4",
+        "eval_batch_size=8", "eval_interval=1000", "eval_init=False",
+        "plot_results=False", "store_last_ckpt=False", "~eval_sample_losses",
+    ]
+
+    def run(steps_per_call, sub):
+        cfg = compose(
+            CONF, "base",
+            base + [f"steps_per_call={steps_per_call}",
+                    f"out_dir={tmp_path / sub}"],
+        )
+        solver = locate(cfg["solver"]["_target_"])(cfg)
+        while solver.n_steps < 6:
+            metrics = solver.step_chunk(solver._next_chunk_size())
+        return float(metrics["train/loss"]), jax.tree_util.tree_leaves(
+            solver.train_state.params
+        )
+
+    loss1, params1 = run(1, "a")
+    loss3, params3 = run(3, "b")
+    assert loss1 == pytest.approx(loss3, rel=1e-5)
+    for a, b in zip(params1, params3):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
