@@ -15,7 +15,6 @@ separately — the reference needs two full rollouts (solver/oc.py:75-99).
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, NamedTuple
 
 import jax

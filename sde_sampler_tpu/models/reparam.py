@@ -19,8 +19,6 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from sde_sampler_tpu.utils.common import clip_norm
-
 
 def _clip(value, max_norm):
     if max_norm is None:

@@ -10,7 +10,6 @@ from __future__ import annotations
 from typing import Callable
 
 import jax
-import jax.numpy as jnp
 
 from sde_sampler_tpu.losses.oc import divx_exact, divx_hutchinson
 
