@@ -134,3 +134,30 @@ def test_gmm_sample_moments():
     expected_var = 0.3 + 50.0 / 3.0
     assert float(samples[:, 0].var()) == pytest.approx(expected_var, rel=0.03)
     assert float(g.stddevs[0] ** 2) == pytest.approx(expected_var, rel=1e-4)
+
+
+def test_gmm_fab_preset_reproduces_torch_constants():
+    """fab/multi mode locations must match the torch-seeded FAB benchmark."""
+    from sde_sampler_tpu.distr.gauss import gmm_params
+
+    loc, scale, weights = gmm_params("fab")
+    assert loc.shape == (40, 2)
+    import torch
+
+    generator = torch.Generator()
+    generator.manual_seed(42)
+    expected = ((torch.rand((40, 2), generator=generator) - 0.5) * 80).numpy()
+    assert jnp.abs(loc - expected).max() < 1e-6
+    # softplus(1.0) scale factor
+    assert float(scale[0, 0]) == pytest.approx(1.3132617, rel=1e-5)
+
+    loc_m, _, _ = gmm_params("multi")
+    assert loc_m.shape == (80, 2)
+
+
+def test_gmm_named_presets_all_construct():
+    for name in ["heart", "dist", "fab", "multi", "grid", "circle"]:
+        g = GMM(name=name, domain_tol=None)
+        x = g.sample(jax.random.PRNGKey(0), (64,))
+        assert bool(jnp.isfinite(g.unnorm_log_prob(x)).all()), name
+        assert bool(jnp.isfinite(g.score(x)).all()), name
