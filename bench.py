@@ -5,6 +5,18 @@ Measures EM steps x batch / sec / chip for the paper-scale DIS configuration
 loss — reference conf/solver/oc_base.yaml:12-19 hyperparameters) on real TPU
 hardware, end to end including the backward pass and optimizer update.
 
+Also reports:
+- `flops_per_step` / `mfu`: analytic control-net matmul FLOPs per optimizer
+  step (forward + 2x backward per dense kernel) against the chip's bf16 MXU
+  peak. The 64-wide control nets underfill the 128x128 MXU, so MFU is a
+  diagnostic, not the headline (the workload is dispatch/VPU-bound).
+- `bf16_value`: the same measurement under the bf16 matmul policy
+  (`matmul_precision=bfloat16`, see conf/base.yaml).
+- `--n-devices N`: data-parallel bench over an N-device mesh (global batch
+  kept at 2048, sharded over the 'dp' axis). Falls back to a re-exec'd
+  CPU-virtual mesh when fewer real devices exist (numbers then only show
+  scaling, not absolute throughput).
+
 Baseline: the reference publishes no throughput numbers (BASELINE.md). The
 A100/PyTorch estimate used for `vs_baseline` is 2.7e6 EM steps x batch /
 sec: the reference's per-iteration cost is a Python loop of 200 EM steps,
@@ -16,6 +28,7 @@ until a measured A100 number is available.
 """
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import sys
@@ -32,14 +45,19 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 
 BASELINE_A100_TORCH = 2.7e6  # EM steps x batch / sec (estimate, see above)
 
+# bf16 MXU peak per chip (dense). v5e (v5litepod): 197 TFLOP/s bf16.
+PEAK_FLOPS_BF16 = {
+    "TPU v5e": 197e12,
+    "TPU v5 lite": 197e12,
+    "TPU v4": 275e12,
+    "TPU v5p": 459e12,
+    "TPU v6e": 918e12,
+}
 
-def main():
-    import jax
 
+def _build_solver(batch, em_steps, extra=()):
     from sde_sampler_tpu.utils.config import compose, locate
 
-    batch = 2048
-    em_steps = 200
     cfg = compose(
         REPO_ROOT / "conf",
         "base",
@@ -52,30 +70,123 @@ def main():
             "out_dir=/tmp/bench_out",
             "plot_results=False",
             "eval_init=False",
+            *extra,
         ],
     )
-    solver = locate(cfg["solver"]["_target_"])(cfg)
+    return locate(cfg["solver"]["_target_"])(cfg)
 
-    # Warmup / compile
-    for _ in range(3):
+
+def _model_flops_per_step(solver, batch, em_steps):
+    """Analytic matmul FLOPs per optimizer step.
+
+    Each dense kernel of shape (fan_in, fan_out) costs 2*fan_in*fan_out
+    FLOPs per sample in the forward pass; the backward pass adds ~2x
+    (input-grad + weight-grad matmuls) => 6*prod(shape) per sample per
+    control-net evaluation, once per EM step.
+    """
+    import jax
+    import numpy as np
+
+    fwd = sum(
+        2 * int(np.prod(p.shape))
+        for p in jax.tree_util.tree_leaves(solver.train_state.params)
+        if getattr(p, "ndim", 0) == 2
+    )
+    return 3 * fwd * batch * em_steps
+
+
+def _measure(solver, n_iters=50, warmup=3):
+    import jax
+
+    for _ in range(warmup):
         metrics = solver.step()
     jax.block_until_ready(metrics["train/loss"])
-
-    n_iters = 50
     start = time.time()
     for _ in range(n_iters):
         metrics = solver.step()
     jax.block_until_ready(metrics["train/loss"])
-    elapsed = time.time() - start
+    return time.time() - start, n_iters
 
-    n_chips = 1  # throughput is reported per chip
-    value = em_steps * batch * n_iters / elapsed / n_chips
+
+def _device_peak():
+    import jax
+
+    kind = jax.devices()[0].device_kind
+    for name, peak in PEAK_FLOPS_BF16.items():
+        if name.lower() in kind.lower():
+            return peak
+    return None
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--n-devices", type=int, default=1)
+    parser.add_argument(
+        "--skip-bf16", action="store_true",
+        help="skip the bf16 matmul-policy datapoint",
+    )
+    parser.add_argument("--iters", type=int, default=50)
+    parser.add_argument("--batch", type=int, default=2048)
+    args = parser.parse_args()
+
+    import jax
+
+    if args.n_devices > 1 and len(jax.devices()) < args.n_devices:
+        # Not enough real chips: re-exec on a CPU-virtual mesh (the axon
+        # sitecustomize locks the device count at startup, so a clean
+        # subprocess is required — same pattern as __graft_entry__.py).
+        import subprocess
+
+        env = os.environ.copy()
+        env.pop("PYTHONPATH", None)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = (
+            f"--xla_force_host_platform_device_count={args.n_devices}"
+        )
+        cmd = [sys.executable, str(Path(__file__).resolve()),
+               "--n-devices", str(args.n_devices), "--skip-bf16",
+               "--iters", str(args.iters), "--batch", str(args.batch)]
+        raise SystemExit(subprocess.run(cmd, env=env).returncode)
+
+    batch = args.batch
+    em_steps = 200
+    n_devices = args.n_devices
+    extra = [f"n_devices={n_devices}"] if n_devices > 1 else []
+
+    solver = _build_solver(batch, em_steps, extra)
+    elapsed, n_iters = _measure(solver, n_iters=args.iters)
+    value = em_steps * batch * n_iters / elapsed / n_devices
+
+    flops_per_step = _model_flops_per_step(solver, batch, em_steps)
+    peak = _device_peak()
+    steps_per_sec = n_iters / elapsed
+    mfu = (
+        flops_per_step * steps_per_sec / (peak * n_devices)
+        if peak
+        else None
+    )
+
     result = {
         "metric": "em_traj_throughput",
         "value": value,
-        "unit": "EM steps x batch / sec / chip (DIS funnel d=10, batch 2048, 200 steps, lv loss)",
+        "unit": f"EM steps x batch / sec / chip (DIS funnel d=10, batch {batch}, {em_steps} steps, lv loss)",
         "vs_baseline": value / BASELINE_A100_TORCH,
+        "n_devices": n_devices,
+        "flops_per_step": flops_per_step,
+        "mfu": mfu,
+        "mfu_note": "analytic ctrl-net matmul FLOPs vs bf16 MXU peak; "
+        "64-wide nets underfill the 128x128 MXU (dispatch/VPU-bound)",
     }
+
+    if not args.skip_bf16:
+        bf16_solver = _build_solver(
+            batch, em_steps, extra + ["matmul_precision=bfloat16"]
+        )
+        bf16_elapsed, bf16_iters = _measure(bf16_solver, n_iters=args.iters)
+        result["bf16_value"] = (
+            em_steps * batch * bf16_iters / bf16_elapsed / n_devices
+        )
+
     print(json.dumps(result))
 
 

@@ -295,6 +295,13 @@ class Solver:
         for fn_cfg in cfg.get("setup") or []:
             instantiate(fn_cfg)
 
+        # Matmul precision policy for all jitted compute (bf16 on the MXU
+        # when set to "bfloat16"; "float32"/"highest" forces multi-pass f32).
+        # Config key: matmul_precision (conf/base.yaml).
+        precision = cfg.get("matmul_precision")
+        if precision:
+            jax.config.update("jax_default_matmul_precision", str(precision))
+
         seed = int(cfg.get("seed", 0))
         # Host-resident PRNG chain: every next_key() split is an eager op,
         # and eager ops on a remote-attached TPU cost ~0.5s each.
@@ -781,6 +788,9 @@ class Trainable(Solver):
             grads.append(grad)
         loss_var = jnp.stack(losses).var(ddof=1)
         grads_var = jnp.stack(grads).var(axis=0, ddof=1)
+        # NOTE: variances reported under *_stddev_* keys — this faithfully
+        # reproduces the reference's own quirk (its solver/base.py:378-384
+        # logs .var() under the same names). Keep both sides consistent.
         return {
             "eval/grad_stddev_mean": float(grads_var.mean()),
             "eval/grad_stddev_max": float(grads_var.max()),
