@@ -75,6 +75,54 @@ def _softmin(x, y, dual, eps, p: int, row_chunk: int, col_chunk: int):
     return eps * lse
 
 
+@partial(
+    jax.jit, static_argnames=("p", "row_chunk", "col_chunk", "max_iters")
+)
+def _sinkhorn_loop(
+    x,
+    y,
+    log_a,
+    log_b,
+    u0,
+    v0,
+    eps,
+    stop_thresh,
+    max_iters: int,
+    p: int,
+    row_chunk: int,
+    col_chunk: int,
+):
+    """Full Sinkhorn iteration as one on-device while_loop.
+
+    The reference (and the first TPU port) checked convergence on host every
+    iteration — two device->host pulls per iteration, which dominates eval
+    time over a remote-attached TPU. Here the stop_thresh early-exit lives
+    inside the compiled loop; the caller syncs exactly once.
+    """
+
+    def cond(state):
+        it, _, _, err = state
+        return (it < max_iters) & (err >= stop_thresh)
+
+    def body(state):
+        it, u, v, _ = state
+        u_new = log_a * eps - _softmin(
+            x, y, v, eps, p=p, row_chunk=row_chunk, col_chunk=col_chunk
+        )
+        v_new = log_b * eps - _softmin(
+            y, x, u_new, eps, p=p, row_chunk=row_chunk, col_chunk=col_chunk
+        )
+        err = jnp.maximum(
+            jnp.abs(u - u_new).max(), jnp.abs(v - v_new).max()
+        )
+        return it + 1, u_new, v_new, err
+
+    _, u, v, _ = jax.lax.while_loop(
+        cond, body, (jnp.zeros((), jnp.int32), u0, v0, jnp.inf)
+    )
+    return u, v
+
+
 @partial(jax.jit, static_argnames=("p", "row_chunk", "col_chunk"))
 def _transport_cost(x, y, u, v, eps, p: int, row_chunk: int, col_chunk: int):
     """sum_ij P_ij * M_ij with P = exp((-M + u_i + v_j)/eps), tiled."""
@@ -196,18 +244,38 @@ class Sinkhorn:
             softmin = lambda a, b, dual: _softmin(a, b, dual, self.eps, **chunks)
             transport = lambda: _transport_cost(x, y, u, v, self.eps, **chunks)
 
-        for it in range(self.max_iters):
-            u_prev, v_prev = u, v
-            u = log_a * self.eps - softmin(x, y, v)
-            v = log_b * self.eps - softmin(y, x, u)
-            max_err = max(
-                float(jnp.abs(u_prev - u).max()),
-                float(jnp.abs(v_prev - v).max()),
+        if not self.verbose and not self._use_pallas(x, y):
+            # Fast path: the whole convergence loop (incl. the stop_thresh
+            # early exit) compiles into one while_loop; a single dispatch
+            # instead of 2 host syncs per iteration (weak spot over the
+            # remote TPU tunnel).
+            u, v = _sinkhorn_loop(
+                x,
+                y,
+                log_a,
+                log_b,
+                u,
+                v,
+                self.eps,
+                self.stop_thresh,
+                max_iters=self.max_iters,
+                p=self.p,
+                row_chunk=min(self.row_chunk, x.shape[0]),
+                col_chunk=min(self.col_chunk, y.shape[0]),
             )
-            if self.verbose:
-                print(f"sinkhorn iter {it}: max_err={max_err:.3g}")
-            if max_err < self.stop_thresh:
-                break
+        else:
+            for it in range(self.max_iters):
+                u_prev, v_prev = u, v
+                u = log_a * self.eps - softmin(x, y, v)
+                v = log_b * self.eps - softmin(y, x, u)
+                max_err = max(
+                    float(jnp.abs(u_prev - u).max()),
+                    float(jnp.abs(v_prev - v).max()),
+                )
+                if self.verbose:
+                    print(f"sinkhorn iter {it}: max_err={max_err:.3g}")
+                if max_err < self.stop_thresh:
+                    break
 
         return transport()
 

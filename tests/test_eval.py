@@ -151,3 +151,24 @@ def test_filter_chirality_shapes():
     assert bool(filter_chirality(x_l).all())
     x_d = x.at[:, 17].set(0.0).at[:, 26].set(-2.0)
     assert not bool(filter_chirality(x_d).any())
+
+
+def test_sinkhorn_device_loop_matches_host_loop():
+    """The fused while_loop path == the host-loop (verbose) path, including
+    the stop_thresh early exit."""
+    import io
+    import contextlib
+
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(300, 3)).astype("float32")
+    y = (rng.normal(size=(300, 3)) + 0.2).astype("float32")
+    # large eps so the iteration converges before max_iters (exercises the
+    # in-loop early exit)
+    kwargs = dict(p=2, eps=1.0, max_iters=200, stop_thresh=1e-6)
+    fast = float(Sinkhorn(**kwargs)(x, y))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        slow = float(Sinkhorn(verbose=True, **kwargs)(x, y))
+    n_host_iters = buf.getvalue().count("sinkhorn iter")
+    assert n_host_iters < 200, "early exit never triggered; weak test"
+    assert abs(fast - slow) < 1e-5
