@@ -57,17 +57,28 @@ def main(argv: list[str] | None = None):
             multirun = True
     if multirun:
         jobs = _expand_multirun(overrides)
-        results = []
-        for i, job in enumerate(jobs):
-            # per-job output subdirectory (hydra sweep-dir semantics)
-            job = [
+        jobs = [
+            [
                 f"out_dir={ov.split('=', 1)[1]}/job{i}"
                 if ov.startswith("out_dir=") else ov
                 for ov in job
             ]
-            print(f"[multirun {i + 1}/{len(jobs)}] {' '.join(job)}")
-            results.append(main(job + [f"+job_id={i}"]))
-        return results
+            + [f"+job_id={i}"]
+            for i, job in enumerate(jobs)
+        ]
+        # Launcher selection (conf/launcher/*; e.g. launcher=joblib runs
+        # jobs as a parallel process pool). Composed from job 0's config.
+        cfg0 = compose(REPO_ROOT / "conf", "base", jobs[0])
+        launcher_cfg = cfg0.get("launcher")
+        if launcher_cfg:
+            from sde_sampler_tpu.utils.config import instantiate
+
+            launcher = instantiate(launcher_cfg)
+        else:
+            from sde_sampler_tpu.utils.launcher import SequentialLauncher
+
+            launcher = SequentialLauncher()
+        return launcher.run(jobs, main)
 
     cfg = compose(REPO_ROOT / "conf", "base", overrides)
 
@@ -99,24 +110,40 @@ def main(argv: list[str] | None = None):
 
     wandb_cfg = cfg.get("wandb") or {}
     if wandb_cfg.get("mode") != "disabled":
+        # Run id = SHA-256 of the output dir so a requeued (preempted) job
+        # resumes the same wandb run (reference scripts/main.py:49-53).
+        run_id = wandb_cfg.get("id") or wandb_shim.run_id_for_dir(out_dir)
+        tags = wandb_cfg.get("tags") or [t for t in overrides if len(t) < 32]
         wandb_shim.init(
             project=wandb_cfg.get("project"),
             name=wandb_cfg.get("name"),
-            tags=wandb_cfg.get("tags"),
+            tags=tags,
+            id=run_id,
+            resume="allow",
+            mode=wandb_cfg.get("mode", "run"),
             dir=str(out_dir),
+            config=dict(cfg),
         )
+        # Resumed run: merge the stored config back (current cfg wins;
+        # reference scripts/main.py:69-73).
+        if getattr(wandb_shim.run, "resumed", False) and cfg.get(
+            "merge_wandb_resume_cfg"
+        ):
+            cfg = wandb_shim.merge_wandb_cfg(cfg) or cfg
 
     try:
         solver_cls = locate(cfg["solver"]["_target_"])
         solver = solver_cls(cfg)
         solver.setup()
         results = solver()
-        return results
-    except Exception:
-        logging.exception("Run failed")
-        raise
-    finally:
+        wandb_shim.summary_update({"error": None})
         wandb_shim.finish()
+        return results
+    except Exception as e:
+        logging.exception("Run failed")
+        wandb_shim.summary_update({"error": str(e)})
+        wandb_shim.finish(exit_code=1)
+        raise
 
 
 if __name__ == "__main__":

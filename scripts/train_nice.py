@@ -33,6 +33,33 @@ ensure_cpu_backend()
 MNIST_SIZE = 28
 
 
+def synthetic_images(n: int, seed: int = 0) -> np.ndarray:
+    """Deterministic MNIST-shaped synthetic dataset: stroke-like images
+    built from 3-6 Gaussian bumps along a random smooth path.
+
+    No MNIST idx files can enter this environment (zero egress), so this
+    provides a nontrivial trainable density making the NICE pipeline (and
+    the committed data/nice.npz checkpoint consumed by `target=nice`)
+    fully deterministic end-to-end.
+    """
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:MNIST_SIZE, 0:MNIST_SIZE].astype(np.float32)
+    imgs = np.zeros((n, MNIST_SIZE, MNIST_SIZE), dtype=np.float32)
+    for i in range(n):
+        k = rng.integers(3, 7)
+        # smooth path: random quadratic Bezier across the canvas
+        p = rng.uniform(4, 24, size=(3, 2)).astype(np.float32)
+        t = np.linspace(0, 1, k, dtype=np.float32)[:, None]
+        centers = ((1 - t) ** 2) * p[0] + 2 * (1 - t) * t * p[1] + t**2 * p[2]
+        widths = rng.uniform(1.2, 2.5, size=k).astype(np.float32)
+        amps = rng.uniform(0.6, 1.0, size=k).astype(np.float32)
+        img = np.zeros((MNIST_SIZE, MNIST_SIZE), dtype=np.float32)
+        for (cy, cx), w, a in zip(centers, widths, amps):
+            img += a * np.exp(-((yy - cy) ** 2 + (xx - cx) ** 2) / (2 * w**2))
+        imgs[i] = np.clip(img, 0.0, 1.0)
+    return imgs
+
+
 def load_mnist_images(data_dir: Path) -> np.ndarray:
     """Read train-images-idx3-ubyte(.gz) -> (N, 28, 28) float array in [0,1]."""
     for name in ("train-images-idx3-ubyte", "train-images.idx3-ubyte"):
@@ -83,7 +110,7 @@ def train_nice(args):
 
     resize = args.resize
     full_dim = resize * resize
-    mid_dim = int(1000 * resize / MNIST_SIZE)
+    mid_dim = args.mid_dim or int(1000 * resize / MNIST_SIZE)
     hidden = 5
     coupling = 4
     mask_config = 1
@@ -94,9 +121,13 @@ def train_nice(args):
     mean28 = np.load(DATA_DIR / "mnist_mean.npy").reshape(28, 28)
     mean = jnp.asarray(resize_14(mean28).reshape(1, full_dim))
 
-    images = resize_14(load_mnist_images(Path(args.data_dir)))
+    if args.synthetic:
+        images = resize_14(synthetic_images(args.synthetic, seed=args.seed))
+        print(f"Generated synthetic dataset: {images.shape}")
+    else:
+        images = resize_14(load_mnist_images(Path(args.data_dir)))
+        print(f"Loaded MNIST: {images.shape}")
     images = images.reshape(images.shape[0], full_dim)
-    print(f"Loaded MNIST: {images.shape}")
 
     key = jax.random.PRNGKey(args.seed)
     key, init_key = jax.random.split(key)
@@ -170,6 +201,14 @@ def train_nice(args):
 if __name__ == "__main__":
     parser = argparse.ArgumentParser("train NICE on MNIST")
     parser.add_argument("--data_dir", default=str(REPO_ROOT / "data" / "MNIST"))
+    parser.add_argument(
+        "--synthetic", type=int, default=0,
+        help="train on N deterministic synthetic images instead of MNIST",
+    )
+    parser.add_argument(
+        "--mid_dim", type=int, default=0,
+        help="hidden width override (default: 1000*resize/28)",
+    )
     parser.add_argument("--batch_size", type=int, default=200)
     parser.add_argument("--resize", type=int, default=14)
     parser.add_argument("--latent", default="logistic")

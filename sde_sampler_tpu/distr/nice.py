@@ -126,7 +126,7 @@ def nice_sample(params, key, size: int, in_out_dim: int, mask_config: int = 1):
 
 def save_nice_checkpoint(path, params, meta: dict):
     flat, treedef = jax.tree_util.tree_flatten(params)
-    np.savez(
+    np.savez_compressed(
         path,
         *[np.asarray(leaf) for leaf in flat],
         **{f"meta_{k}": v for k, v in meta.items()},

@@ -326,6 +326,16 @@ class Solver:
         # Logging and checkpoints
         self.plot_results: bool = cfg.get("plot_results", True)
         self.store_last_ckpt: bool = cfg.get("store_last_ckpt", False)
+        self.restore_ckpt_from_wandb = cfg.get("restore_ckpt_from_wandb")
+        self.upload_ckpt_to_wandb = cfg.get("upload_ckpt_to_wandb")
+        if (
+            isinstance(self.upload_ckpt_to_wandb, str)
+            and self.upload_ckpt_to_wandb != "last"
+        ):
+            raise ValueError(
+                "upload_ckpt_to_wandb must be True/False/'last', got "
+                f"{self.upload_ckpt_to_wandb!r}"
+            )
         self.eval_marginal_dims: list = cfg.get("eval_marginal_dims") or []
         self.ckpt_file = cfg.get("ckpt_file")
         self.ckpt_dir = self.out_dir / CKPT_DIR
@@ -407,7 +417,10 @@ class Solver:
         self.metrics_file.parent.mkdir(parents=True, exist_ok=True)
         with self.metrics_file.open(mode="a") as f:
             f.write(json.dumps(metrics) + "\n")
-        wandb_shim.log(metrics, step=step)
+        wandb_plots = {
+            k: wandb_shim.format_fig(fig) for k, fig in plots.items()
+        }
+        wandb_shim.log({**metrics, **wandb_plots}, step=step)
         logging.info("Metrics:\n%s", yaml.dump(metrics))
         return metrics
 
@@ -423,6 +436,8 @@ class Solver:
             self.store_checkpoint(suffix="_final")
         logging.info("Logging final results.")
         self.log(results)
+        if self.upload_ckpt_to_wandb == "last":
+            wandb_shim.delete_old_wandb_ckpts()
         return results
 
     # -- checkpoint protocol ------------------------------------------------
@@ -448,10 +463,17 @@ class Solver:
     def store_checkpoint(self, suffix="") -> Path:
         path = self.ckpt_dir / f"ckpt{suffix}.pkl"
         logging.info("Save checkpoint at %s", path)
-        return ckpt_lib.save_checkpoint(path, self.state_dict())
+        path = ckpt_lib.save_checkpoint(path, self.state_dict())
+        if self.upload_ckpt_to_wandb:
+            wandb_shim.upload_ckpt(path, name=path.name)
+        return path
 
     def load_checkpoint(self, ckpt_file=None):
         if ckpt_file is None:
+            if self.restore_ckpt_from_wandb:
+                # Preemption resume: pull the latest ckpt artifact of this
+                # run (id = dir hash) before checking local files.
+                wandb_shim.restore_ckpt(self.out_dir)
             ckpt_file = ckpt_lib.latest_checkpoint(self.ckpt_dir)
         if ckpt_file is not None:
             logging.info("Loading checkpoint %s", ckpt_file)

@@ -1,0 +1,96 @@
+"""Multirun launchers: parallel process-pool execution of multirun jobs.
+
+The reference parallelizes multirun sweeps with hydra's joblib launcher plus
+a `get_free_gpu` resolver that pins each job to the least-used GPU
+(/root/reference/conf/launcher/joblib.yaml,
+/root/reference/sde_sampler/utils/hydra.py:15-38). The TPU-native
+equivalent: each job runs `python scripts/main.py <overrides>` in its own
+process, and per-slot environment overlays play the role of GPU picking
+(e.g. pinning jobs to TPU slices via TPU_VISIBLE_CHIPS / forcing jobs onto
+the CPU backend for sweep smoke tests).
+"""
+from __future__ import annotations
+
+import logging
+import os
+import subprocess
+import sys
+import time
+from concurrent.futures import ThreadPoolExecutor
+from pathlib import Path
+
+REPO_ROOT = Path(__file__).resolve().parents[2]
+
+
+class SequentialLauncher:
+    """In-process sequential execution (the default multirun behavior)."""
+
+    def run(self, jobs: list[list[str]], main_fn) -> list:
+        results = []
+        for i, job in enumerate(jobs):
+            logging.info("[multirun %d/%d] %s", i + 1, len(jobs), " ".join(job))
+            results.append(main_fn(job))
+        return results
+
+
+class ProcessPoolLauncher:
+    """Run multirun jobs as parallel `scripts/main.py` subprocesses.
+
+    Args:
+        n_jobs: maximum concurrent jobs.
+        env: environment overlay applied to every job (e.g.
+            ``{"JAX_PLATFORMS": "cpu"}`` for CPU sweeps).
+        slot_env: list of per-slot overlays cycled by job index — the
+            `get_free_gpu` analogue (e.g. one TPU slice spec per slot).
+        clean_pythonpath: drop PYTHONPATH in the children (detaches them
+            from sitecustomize-based device tunnels).
+    """
+
+    def __init__(
+        self,
+        n_jobs: int = 4,
+        env: dict | None = None,
+        slot_env: list[dict] | None = None,
+        clean_pythonpath: bool = False,
+        **kwargs,
+    ):
+        self.n_jobs = int(n_jobs)
+        self.env = {k: str(v) for k, v in (env or {}).items()}
+        self.slot_env = [
+            {k: str(v) for k, v in overlay.items()}
+            for overlay in (slot_env or [])
+        ]
+        self.clean_pythonpath = clean_pythonpath
+
+    def _job_env(self, idx: int) -> dict:
+        env = os.environ.copy()
+        if self.clean_pythonpath:
+            env.pop("PYTHONPATH", None)
+        env.update(self.env)
+        if self.slot_env:
+            env.update(self.slot_env[idx % len(self.slot_env)])
+        return env
+
+    def _run_one(self, idx: int, job: list[str]) -> int:
+        cmd = [sys.executable, str(REPO_ROOT / "scripts" / "main.py"), *job]
+        logging.info("[multirun job %d] %s", idx, " ".join(job))
+        start = time.time()
+        proc = subprocess.run(cmd, env=self._job_env(idx))
+        logging.info(
+            "[multirun job %d] rc=%d (%.1fs)", idx, proc.returncode,
+            time.time() - start,
+        )
+        return proc.returncode
+
+    def run(self, jobs: list[list[str]], main_fn=None) -> list[int]:
+        # Threads only marshal subprocesses; the parallelism is processes.
+        with ThreadPoolExecutor(max_workers=self.n_jobs) as pool:
+            futures = [
+                pool.submit(self._run_one, i, job)
+                for i, job in enumerate(jobs)
+            ]
+            codes = [f.result() for f in futures]
+        failed = [i for i, c in enumerate(codes) if c != 0]
+        if failed:
+            logging.error("multirun jobs failed: %s", failed)
+        return codes

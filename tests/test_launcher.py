@@ -1,0 +1,63 @@
+"""Parallel multirun launcher test: two jobs as concurrent subprocesses."""
+import importlib.util
+import re
+import sys
+from datetime import datetime
+from pathlib import Path
+
+REPO_ROOT = Path(__file__).parents[1]
+
+_TS_RE = re.compile(r"^\[(\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2})")
+
+
+def load_main():
+    spec = importlib.util.spec_from_file_location(
+        "main", REPO_ROOT / "scripts" / "main.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["main"] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _log_span(path: Path):
+    lines = path.read_text().splitlines()
+    stamps = [
+        datetime.strptime(m.group(1), "%Y-%m-%d %H:%M:%S")
+        for line in lines
+        if (m := _TS_RE.match(line))
+    ]
+    return min(stamps), max(stamps)
+
+
+def test_process_pool_multirun_overlaps(tmp_path):
+    main = load_main()
+    codes = main.main(
+        [
+            "-m",
+            "target=dw_shift",
+            "solver=basic_dis",
+            "seed=1,2",
+            "train_steps=2",
+            "train_batch_size=8",
+            "train_timesteps.steps=4",
+            "eval_batch_size=16",
+            "eval_init=False",
+            "plot_results=False",
+            "launcher=joblib",
+            "launcher.n_jobs=2",
+            "launcher.env.JAX_PLATFORMS=cpu",
+            "launcher.clean_pythonpath=True",
+            f"out_dir={tmp_path}",
+        ]
+    )
+    assert codes == [0, 0]
+    spans = []
+    for i in range(2):
+        job_dir = tmp_path / f"job{i}"
+        assert (job_dir / "metrics.jsonl").exists(), f"job{i} produced no metrics"
+        spans.append(_log_span(job_dir / "main.log"))
+    # parallel execution: job1 starts before job0 finishes
+    assert spans[1][0] < spans[0][1], (
+        f"jobs did not overlap: {spans}"
+    )
