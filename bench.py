@@ -95,17 +95,23 @@ def _model_flops_per_step(solver, batch, em_steps):
     return 3 * fwd * batch * em_steps
 
 
-def _measure(solver, n_iters=50, warmup=3):
+def _measure(solver, n_iters=50, warmup=3, steps_per_call=1):
     import jax
 
+    step = (
+        solver.step
+        if steps_per_call == 1
+        else lambda: solver.step_chunk(steps_per_call)
+    )
     for _ in range(warmup):
-        metrics = solver.step()
+        metrics = step()
     jax.block_until_ready(metrics["train/loss"])
+    n_calls = max(n_iters // steps_per_call, 1)
     start = time.time()
-    for _ in range(n_iters):
-        metrics = solver.step()
+    for _ in range(n_calls):
+        metrics = step()
     jax.block_until_ready(metrics["train/loss"])
-    return time.time() - start, n_iters
+    return time.time() - start, n_calls * steps_per_call
 
 
 def _device_peak():
@@ -127,6 +133,11 @@ def main():
     )
     parser.add_argument("--iters", type=int, default=50)
     parser.add_argument("--batch", type=int, default=2048)
+    parser.add_argument(
+        "--steps-per-call", type=int, default=10,
+        help="optimizer steps fused per dispatch (fori_loop step chunking; "
+        "amortizes host/tunnel round trips)",
+    )
     args = parser.parse_args()
 
     import jax
@@ -145,7 +156,8 @@ def main():
         )
         cmd = [sys.executable, str(Path(__file__).resolve()),
                "--n-devices", str(args.n_devices), "--skip-bf16",
-               "--iters", str(args.iters), "--batch", str(args.batch)]
+               "--iters", str(args.iters), "--batch", str(args.batch),
+               "--steps-per-call", str(args.steps_per_call)]
         raise SystemExit(subprocess.run(cmd, env=env).returncode)
 
     batch = args.batch
@@ -154,7 +166,9 @@ def main():
     extra = [f"n_devices={n_devices}"] if n_devices > 1 else []
 
     solver = _build_solver(batch, em_steps, extra)
-    elapsed, n_iters = _measure(solver, n_iters=args.iters)
+    elapsed, n_iters = _measure(
+        solver, n_iters=args.iters, steps_per_call=args.steps_per_call
+    )
     value = em_steps * batch * n_iters / elapsed / n_devices
 
     flops_per_step = _model_flops_per_step(solver, batch, em_steps)
@@ -167,6 +181,7 @@ def main():
     )
 
     result = {
+        "steps_per_call": args.steps_per_call,
         "metric": "em_traj_throughput",
         "value": value,
         "unit": f"EM steps x batch / sec / chip (DIS funnel d=10, batch {batch}, {em_steps} steps, lv loss)",
@@ -182,7 +197,10 @@ def main():
         bf16_solver = _build_solver(
             batch, em_steps, extra + ["matmul_precision=bfloat16"]
         )
-        bf16_elapsed, bf16_iters = _measure(bf16_solver, n_iters=args.iters)
+        bf16_elapsed, bf16_iters = _measure(
+            bf16_solver, n_iters=args.iters,
+            steps_per_call=args.steps_per_call,
+        )
         result["bf16_value"] = (
             em_steps * batch * bf16_iters / bf16_elapsed / n_devices
         )

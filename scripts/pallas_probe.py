@@ -1,0 +1,104 @@
+"""Staged hardware validation of the Pallas Sinkhorn kernels.
+
+Run each stage as its own subprocess with a timeout (bin/pallas_probe.sh);
+a hang in any stage must NOT be retried in a loop — a crashed Mosaic kernel
+wedges the tunneled TPU for 15-90 min (CLAUDE.md). Stages:
+
+    1 single   grid=(1,1) launch, tiny shapes, compare vs the XLA path
+    2 grid     multi-block grid, medium shapes, compare vs the XLA path
+    3 bench    100k x 100k softmin + full Sinkhorn timing vs the XLA path
+
+Usage: python scripts/pallas_probe.py <stage>
+"""
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+REPO_ROOT = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO_ROOT))
+
+from sde_sampler_tpu.utils.device import ensure_cpu_backend  # noqa: E402
+
+ensure_cpu_backend()
+
+import numpy as np  # noqa: E402
+
+
+def _data(n, m, d, seed=0):
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.normal(size=(n, d)), jnp.float32)
+    y = jnp.asarray(rng.normal(size=(m, d)) + 0.3, jnp.float32)
+    dual = jnp.asarray(rng.normal(size=(m,)) * 0.01, jnp.float32)
+    return x, y, dual
+
+
+def _compare(n, m, d):
+    import jax
+    import jax.numpy as jnp
+
+    from sde_sampler_tpu.eval.sinkhorn import _softmin
+    from sde_sampler_tpu.ops import sinkhorn_pallas as sp
+
+    x, y, dual = _data(n, m, d)
+    eps = 1e-2
+    print(f"launching pallas softmin n={n} m={m} d={d} ...", flush=True)
+    pal = sp.softmin_pallas(x, y, dual, eps)
+    jax.block_until_ready(pal)
+    print("pallas done; launching XLA reference ...", flush=True)
+    ref = _softmin(
+        x, y, dual, eps, p=2,
+        row_chunk=min(1024, n), col_chunk=min(8192, m),
+    )
+    diff = float(jnp.abs(ref - pal).max())
+    print(f"max abs diff vs XLA: {diff:.3e}")
+    assert diff < 1e-3, "pallas softmin mismatch"
+    print("OK")
+
+
+def stage_single():
+    _compare(256, 2048, 2)
+
+
+def stage_grid():
+    _compare(1024, 8192, 10)
+
+
+def stage_bench():
+    import jax
+
+    from sde_sampler_tpu.eval.sinkhorn import Sinkhorn, _softmin
+    from sde_sampler_tpu.ops import sinkhorn_pallas as sp
+
+    n = m = 100_000
+    d = 10
+    x, y, dual = _data(n, m, d)
+    eps = 1e-2
+
+    for name, fn in [
+        ("pallas", lambda: sp.softmin_pallas(x, y, dual, eps)),
+        ("xla", lambda: _softmin(x, y, dual, eps, p=2,
+                                 row_chunk=1024, col_chunk=8192)),
+    ]:
+        out = fn()
+        jax.block_until_ready(out)  # compile
+        t0 = time.time()
+        for _ in range(3):
+            out = fn()
+        jax.block_until_ready(out)
+        print(f"softmin[{name}] {n}x{m}: {(time.time() - t0) / 3:.3f}s/iter")
+
+    for backend in ("xla", "pallas"):
+        sk = Sinkhorn(p=2, eps=1e-3, max_iters=20, backend=backend)
+        t0 = time.time()
+        val = float(sk(x, y))
+        print(f"sinkhorn[{backend}] 20 iters: {time.time() - t0:.1f}s "
+              f"value={val:.4f}")
+
+
+if __name__ == "__main__":
+    stage = sys.argv[1] if len(sys.argv) > 1 else "single"
+    {"single": stage_single, "grid": stage_grid, "bench": stage_bench}[stage]()

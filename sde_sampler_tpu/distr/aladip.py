@@ -91,6 +91,68 @@ def filter_chirality(
     return (jnp.abs(diff - mean_diff) < threshold)[:, None]
 
 
+def make_host_log_prob_bridge(distr, torch_mod):
+    """jax <-> torch host bridge for a Boltzmann-style distribution.
+
+    `distr` needs `log_prob(torch.Tensor) -> torch.Tensor`; energies/forces
+    are evaluated on host (OpenMM is CPU-only) and enter jitted rollouts via
+    `jax.pure_callback`. The returned `log_prob_fn` carries a custom VJP
+    whose backward queries host forces, so scores flow through jit/scan/
+    grad; `score_fn` is the direct force callback.
+
+    Factored out of AlaDip so the callback shapes and VJP semantics are
+    testable without openmm/boltzgen (tests/test_aladip.py uses a torch
+    Gaussian stand-in).
+    """
+
+    def _host_log_prob(x_np: np.ndarray) -> np.ndarray:
+        x_t = torch_mod.from_numpy(np.asarray(x_np, dtype=np.float64))
+        with torch_mod.no_grad():
+            lp = distr.log_prob(x_t)
+        return np.asarray(lp, dtype=np.float32).reshape(-1, 1)
+
+    def _host_log_prob_grad(x_np: np.ndarray) -> np.ndarray:
+        x_t = torch_mod.from_numpy(
+            np.asarray(x_np, dtype=np.float64)
+        ).requires_grad_(True)
+        lp = distr.log_prob(x_t)
+        (grad,) = torch_mod.autograd.grad(lp.sum(), x_t)
+        return np.asarray(grad, dtype=np.float32)
+
+    @jax.custom_vjp
+    def log_prob_fn(x):
+        return jax.pure_callback(
+            _host_log_prob,
+            jax.ShapeDtypeStruct((x.shape[0], 1), jnp.float32),
+            x,
+            vmap_method="sequential",
+        )
+
+    def fwd(x):
+        return log_prob_fn(x), x
+
+    def bwd(x, ct):
+        grad = jax.pure_callback(
+            _host_log_prob_grad,
+            jax.ShapeDtypeStruct(x.shape, jnp.float32),
+            x,
+            vmap_method="sequential",
+        )
+        return (grad * ct,)
+
+    log_prob_fn.defvjp(fwd, bwd)
+
+    def score_fn(x):
+        return jax.pure_callback(
+            _host_log_prob_grad,
+            jax.ShapeDtypeStruct(x.shape, jnp.float32),
+            x,
+            vmap_method="sequential",
+        )
+
+    return log_prob_fn, score_fn
+
+
 class AlaDip(Distribution):
     def __init__(
         self,
@@ -223,51 +285,8 @@ class AlaDip(Distribution):
 
         # jax <-> torch host bridge with custom VJP so scores flow through
         # the jitted rollouts (OpenMM computes forces on host threads).
-        torch_mod = torch
-        distr = self.distr
-
-        def _host_log_prob(x_np: np.ndarray) -> np.ndarray:
-            x_t = torch_mod.from_numpy(np.asarray(x_np, dtype=np.float64))
-            with torch_mod.no_grad():
-                lp = distr.log_prob(x_t)
-            return np.asarray(lp, dtype=np.float32).reshape(-1, 1)
-
-        def _host_log_prob_grad(x_np: np.ndarray) -> np.ndarray:
-            x_t = torch_mod.from_numpy(
-                np.asarray(x_np, dtype=np.float64)
-            ).requires_grad_(True)
-            lp = distr.log_prob(x_t)
-            (grad,) = torch_mod.autograd.grad(lp.sum(), x_t)
-            return np.asarray(grad, dtype=np.float32)
-
-        @jax.custom_vjp
-        def log_prob_fn(x):
-            return jax.pure_callback(
-                _host_log_prob,
-                jax.ShapeDtypeStruct((x.shape[0], 1), jnp.float32),
-                x,
-                vmap_method="sequential",
-            )
-
-        def fwd(x):
-            return log_prob_fn(x), x
-
-        def bwd(x, ct):
-            grad = jax.pure_callback(
-                _host_log_prob_grad,
-                jax.ShapeDtypeStruct(x.shape, jnp.float32),
-                x,
-                vmap_method="sequential",
-            )
-            return (grad * ct,)
-
-        log_prob_fn.defvjp(fwd, bwd)
-        self._log_prob_fn = log_prob_fn
-        self._score_fn = lambda x: jax.pure_callback(
-            _host_log_prob_grad,
-            jax.ShapeDtypeStruct(x.shape, jnp.float32),
-            x,
-            vmap_method="sequential",
+        self._log_prob_fn, self._score_fn = make_host_log_prob_bridge(
+            self.distr, torch
         )
 
     def unnorm_log_prob(self, x: jnp.ndarray) -> jnp.ndarray:

@@ -123,6 +123,32 @@ def _sinkhorn_loop(
     return u, v
 
 
+@partial(jax.jit, static_argnames=("max_iters", "eps"))
+def _sinkhorn_loop_pallas(
+    x, y, log_a, log_b, u0, v0, eps: float, stop_thresh, max_iters: int
+):
+    """Pallas-kernel variant of `_sinkhorn_loop` (same on-device early exit)."""
+    from sde_sampler_tpu.ops import sinkhorn_pallas as sp
+
+    def cond(state):
+        it, _, _, err = state
+        return (it < max_iters) & (err >= stop_thresh)
+
+    def body(state):
+        it, u, v, _ = state
+        u_new = log_a * eps - sp.softmin_pallas(x, y, v, eps)
+        v_new = log_b * eps - sp.softmin_pallas(y, x, u_new, eps)
+        err = jnp.maximum(
+            jnp.abs(u - u_new).max(), jnp.abs(v - v_new).max()
+        )
+        return it + 1, u_new, v_new, err
+
+    _, u, v, _ = jax.lax.while_loop(
+        cond, body, (jnp.zeros((), jnp.int32), u0, v0, jnp.inf)
+    )
+    return u, v
+
+
 @partial(jax.jit, static_argnames=("p", "row_chunk", "col_chunk"))
 def _transport_cost(x, y, u, v, eps, p: int, row_chunk: int, col_chunk: int):
     """sum_ij P_ij * M_ij with P = exp((-M + u_i + v_j)/eps), tiled."""
@@ -244,7 +270,12 @@ class Sinkhorn:
             softmin = lambda a, b, dual: _softmin(a, b, dual, self.eps, **chunks)
             transport = lambda: _transport_cost(x, y, u, v, self.eps, **chunks)
 
-        if not self.verbose and not self._use_pallas(x, y):
+        if not self.verbose and self._use_pallas(x, y):
+            u, v = _sinkhorn_loop_pallas(
+                x, y, log_a, log_b, u, v, float(self.eps),
+                self.stop_thresh, max_iters=self.max_iters,
+            )
+        elif not self.verbose:
             # Fast path: the whole convergence loop (incl. the stop_thresh
             # early exit) compiles into one while_loop; a single dispatch
             # instead of 2 host syncs per iteration (weak spot over the

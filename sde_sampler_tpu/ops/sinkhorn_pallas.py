@@ -2,14 +2,17 @@
 
 This is the TPU-native replacement for the pykeops LazyTensor reductions the
 reference uses (/root/reference/sde_sampler/eval/sinkhorn.py:112-178): the
-N x M distance matrix is never materialized in HBM. Each kernel instance
-holds a row block of x in VMEM, keeps the full y / dual vector resident in
-VMEM, and accumulates an online logsumexp over column tiles; pairwise
-distances come from an MXU dot (|x|^2 + |y|^2 - 2 x.y^T).
+N x M distance matrix is never materialized in HBM. A 2-D grid streams
+(row-block x col-chunk) tiles through VMEM; an online logsumexp lives in
+VMEM scratch carried across the column grid dimension (TPU grids execute
+sequentially, minor dimension fastest), and pairwise distances come from an
+MXU dot (|x|^2 + |y|^2 - 2 x.y^T).
 
-Used when y fits comfortably in VMEM (M*d*4 bytes <= ~8MB, i.e. all the
-reference's 2-d/10-d Sinkhorn evaluations at n<=100k); the chunked-XLA path
-in eval/sinkhorn.py covers the general case.
+Round-1 post-mortem (why the first version wedged the chip): it pinned the
+ENTIRE y array in VMEM via a full-height BlockSpec. With d=2..10 the lane
+dimension pads to 128, so a (100k, 2) resident block occupies ~51MB of
+~16MB VMEM. This version streams y in (COL_CHUNK, d) tiles via the grid
+pipeline instead — peak VMEM is a few MB regardless of n.
 """
 from __future__ import annotations
 
@@ -22,7 +25,65 @@ from jax.experimental.pallas import tpu as pltpu
 
 ROW_BLOCK = 256
 COL_CHUNK = 2048
-VMEM_Y_LIMIT = 8 * 1024 * 1024  # bytes of VMEM budget for the resident y
+# a (COL_CHUNK, d<=128) f32 tile is ~1MB after lane padding; double-buffered
+# by the pipeline => comfortably inside VMEM for any n
+MAX_LANE_D = 128
+
+
+def _neg_dist_tile(x, y_c):
+    """-|x_i - y_j| for a (R, d) x (C, d) tile, via the MXU."""
+    x_sq = (x * x).sum(axis=-1, keepdims=True)
+    y_sq = (y_c * y_c).sum(axis=-1)
+    sq = (
+        x_sq
+        + y_sq[None, :]
+        - 2.0 * jnp.dot(x, y_c.T, preferred_element_type=jnp.float32)
+    )
+    return -jnp.sqrt(jnp.maximum(sq, 0.0))
+
+
+def _softmin_kernel(
+    x_ref, y_ref, v_ref, out_ref, m_scr, s_scr, *, eps, n_col_chunks
+):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, -jnp.inf)
+        s_scr[:] = jnp.zeros_like(s_scr)
+
+    z = (_neg_dist_tile(x_ref[:], y_ref[:]) + v_ref[:]) / eps  # (R, C)
+    m_run, s_run = m_scr[:], s_scr[:]
+    m_new = jnp.maximum(m_run, z.max(axis=1, keepdims=True))
+    m_safe = jnp.where(jnp.isfinite(m_new), m_new, 0.0)
+    s_scr[:] = s_run * jnp.exp(m_run - m_safe) + jnp.exp(z - m_safe).sum(
+        axis=1, keepdims=True
+    )
+    m_scr[:] = m_new
+
+    @pl.when(j == n_col_chunks - 1)
+    def _finalize():
+        out_ref[:] = m_scr[:] + jnp.log(s_scr[:])
+
+
+def _transport_kernel(
+    x_ref, y_ref, u_ref, v_ref, out_ref, acc_scr, *, eps, n_col_chunks
+):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    neg_dist = _neg_dist_tile(x_ref[:], y_ref[:])  # (R, C)
+    plan = jnp.exp((neg_dist + u_ref[:] + v_ref[:]) / eps)
+    acc_scr[:] = acc_scr[:] + (plan * (-neg_dist)).sum(
+        axis=1, keepdims=True
+    )
+
+    @pl.when(j == n_col_chunks - 1)
+    def _finalize():
+        out_ref[:] = acc_scr[:]
 
 
 def _pad_to(arr, multiple, axis=0, fill=0.0):
@@ -34,117 +95,63 @@ def _pad_to(arr, multiple, axis=0, fill=0.0):
     return jnp.pad(arr, widths, constant_values=fill)
 
 
-def _softmin_kernel(x_ref, y_ref, v_ref, out_ref, *, eps, n_col_chunks):
-    x = x_ref[:]  # (R, d)
-    x_sq = (x * x).sum(axis=-1, keepdims=True)  # (R, 1)
-
-    def body(c, state):
-        m_run, s_run = state
-        y_c = y_ref[pl.ds(c * COL_CHUNK, COL_CHUNK), :]  # (C, d)
-        # dual laid out (n_chunks, C): dynamic slicing the sublane dim is
-        # supported; lane-dim dynamic slices abort the Mosaic backend
-        v_c = v_ref[pl.ds(c, 1), :]  # (1, C)
-        y_sq = (y_c * y_c).sum(axis=-1)  # (C,)
-        sq = (
-            x_sq
-            + y_sq[None, :]
-            - 2.0 * jnp.dot(x, y_c.T, preferred_element_type=jnp.float32)
-        )
-        dist = jnp.sqrt(jnp.maximum(sq, 0.0))
-        z = (v_c - dist) / eps  # (R, C)
-        m_new = jnp.maximum(m_run, z.max(axis=1, keepdims=True))
-        s_run = s_run * jnp.exp(m_run - m_new) + jnp.exp(z - m_new).sum(
-            axis=1, keepdims=True
-        )
-        return m_new, s_run
-
-    m0 = jnp.full((x.shape[0], 1), -jnp.inf, dtype=jnp.float32)
-    s0 = jnp.zeros((x.shape[0], 1), dtype=jnp.float32)
-    m_fin, s_fin = jax.lax.fori_loop(0, n_col_chunks, body, (m0, s0))
-    out_ref[:] = m_fin + jnp.log(s_fin)
-
-
-def _transport_kernel(x_ref, y_ref, u_ref, v_ref, out_ref, *, eps, n_col_chunks):
-    x = x_ref[:]
-    u = u_ref[:]  # (R, 1)
-    x_sq = (x * x).sum(axis=-1, keepdims=True)
-
-    def body(c, acc):
-        y_c = y_ref[pl.ds(c * COL_CHUNK, COL_CHUNK), :]
-        v_c = v_ref[pl.ds(c, 1), :]  # (1, C)
-        y_sq = (y_c * y_c).sum(axis=-1)
-        sq = (
-            x_sq
-            + y_sq[None, :]
-            - 2.0 * jnp.dot(x, y_c.T, preferred_element_type=jnp.float32)
-        )
-        dist = jnp.sqrt(jnp.maximum(sq, 0.0))
-        plan = jnp.exp((u + v_c - dist) / eps)
-        return acc + (plan * dist).sum()
-
-    out_ref[0, 0] = jax.lax.fori_loop(0, n_col_chunks, body, 0.0)
-
-
 def pallas_applicable(n: int, m: int, d: int, p: int) -> bool:
-    return p == 2 and m * d * 4 <= VMEM_Y_LIMIT
+    return p == 2 and d <= MAX_LANE_D
 
 
-@partial(jax.jit, static_argnames=("eps",))
-def softmin_pallas(x, y, dual, eps: float):
-    """eps * logsumexp_j((-|x_i - y_j| + dual_j)/eps) for all rows i."""
+def _grid_call(kernel, x, y, row_vecs, col_vecs, *, eps, interpret):
+    """Shared 2-D-grid launch: row_vecs are (n,1)-blocked per row block,
+    col_vecs are (1,COL_CHUNK)-blocked per col chunk."""
     n, d = x.shape
     x_pad = _pad_to(x, ROW_BLOCK)
     y_pad = _pad_to(y, COL_CHUNK)
-    dual_pad = _pad_to(dual, COL_CHUNK, fill=-jnp.inf)
     n_row_blocks = x_pad.shape[0] // ROW_BLOCK
     n_col_chunks = y_pad.shape[0] // COL_CHUNK
-    dual_pad = dual_pad.reshape(n_col_chunks, COL_CHUNK)
+
+    in_specs = [
+        pl.BlockSpec((ROW_BLOCK, d), lambda i, j: (i, 0)),
+        pl.BlockSpec((COL_CHUNK, d), lambda i, j: (j, 0)),
+    ]
+    args = [x_pad, y_pad]
+    for vec in row_vecs:
+        in_specs.append(pl.BlockSpec((ROW_BLOCK, 1), lambda i, j: (i, 0)))
+        args.append(_pad_to(vec.reshape(-1, 1), ROW_BLOCK, fill=-jnp.inf))
+    for vec in col_vecs:
+        in_specs.append(pl.BlockSpec((1, COL_CHUNK), lambda i, j: (0, j)))
+        args.append(
+            _pad_to(vec.reshape(1, -1), COL_CHUNK, axis=1, fill=-jnp.inf)
+        )
 
     out = pl.pallas_call(
-        partial(_softmin_kernel, eps=eps, n_col_chunks=n_col_chunks),
-        grid=(n_row_blocks,),
-        in_specs=[
-            pl.BlockSpec((ROW_BLOCK, d), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((y_pad.shape[0], d), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_col_chunks, COL_CHUNK), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((ROW_BLOCK, 1), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
+        partial(kernel, eps=eps, n_col_chunks=n_col_chunks),
+        grid=(n_row_blocks, n_col_chunks),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((ROW_BLOCK, 1), lambda i, j: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((x_pad.shape[0], 1), jnp.float32),
-    )(x_pad, y_pad, dual_pad)
-    return eps * out[:n, 0]
+        scratch_shapes=[
+            pltpu.VMEM((ROW_BLOCK, 1), jnp.float32),
+            pltpu.VMEM((ROW_BLOCK, 1), jnp.float32),
+        ]
+        if kernel is _softmin_kernel
+        else [pltpu.VMEM((ROW_BLOCK, 1), jnp.float32)],
+        interpret=interpret,
+    )(*args)
+    return out[:n, 0]
 
 
-@partial(jax.jit, static_argnames=("eps",))
-def transport_cost_pallas(x, y, u, v, eps: float):
+@partial(jax.jit, static_argnames=("eps", "interpret"))
+def softmin_pallas(x, y, dual, eps: float, interpret: bool = False):
+    """eps * logsumexp_j((-|x_i - y_j| + dual_j)/eps) for all rows i."""
+    lse = _grid_call(
+        _softmin_kernel, x, y, (), (dual,), eps=eps, interpret=interpret
+    )
+    return eps * lse
+
+
+@partial(jax.jit, static_argnames=("eps", "interpret"))
+def transport_cost_pallas(x, y, u, v, eps: float, interpret: bool = False):
     """sum_ij exp((-M_ij + u_i + v_j)/eps) * M_ij, streamed."""
-    n, d = x.shape
-    x_pad = _pad_to(x, ROW_BLOCK)
-    u_pad = _pad_to(u.reshape(-1, 1), ROW_BLOCK, fill=-jnp.inf)
-    y_pad = _pad_to(y, COL_CHUNK)
-    v_pad = _pad_to(v, COL_CHUNK, fill=-jnp.inf)
-    n_row_blocks = x_pad.shape[0] // ROW_BLOCK
-    n_col_chunks = y_pad.shape[0] // COL_CHUNK
-    v_pad = v_pad.reshape(n_col_chunks, COL_CHUNK)
-
-    partials = pl.pallas_call(
-        partial(_transport_kernel, eps=eps, n_col_chunks=n_col_chunks),
-        grid=(n_row_blocks,),
-        in_specs=[
-            pl.BlockSpec((ROW_BLOCK, d), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((y_pad.shape[0], d), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((ROW_BLOCK, 1), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_col_chunks, COL_CHUNK), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, 1), lambda i: (i, 0),
-                               memory_space=pltpu.SMEM),
-        out_shape=jax.ShapeDtypeStruct((n_row_blocks, 1), jnp.float32),
-    )(x_pad, y_pad, u_pad, v_pad)
-    return partials.sum()
+    per_row = _grid_call(
+        _transport_kernel, x, y, (u,), (v,), eps=eps, interpret=interpret
+    )
+    return per_row.sum()

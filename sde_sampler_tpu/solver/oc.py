@@ -404,10 +404,13 @@ class SubtrajBridge(Bridge):
             )
         self.lerp_domain = cfg.get("lerp_domain", True)
         self._rng = np.random.default_rng(int(cfg.get("seed", 0)) + 1)
-        self._train_step_sub = jax.jit(
-            self._make_train_step_impl(self.compute_subtraj_loss_traced),
-            donate_argnums=(0,),
-        )
+        # Compile buckets: a subtrajectory of m grid points runs on a
+        # next-power-of-two window of the grid (dynamic start, static
+        # length), so a 10-step subtrajectory costs ~16 NN forwards instead
+        # of the full 200 (dt=0-padded tail only up to the bucket edge).
+        # At most log2(T) compiles; cached per bucket length.
+        self.bucket_subtraj = bool(cfg.get("bucket_subtraj", True))
+        self._subtraj_jits: dict[int, Callable] = {}
 
     def _potential_log_prob(self, params, clips, t, x, detach: bool):
         out = self.generative_ctrl.apply(
@@ -425,8 +428,28 @@ class SubtrajBridge(Bridge):
             out = jax.lax.stop_gradient(out)
         return out
 
+    def _bucket_len(self, n_points: int) -> int:
+        """Smallest power-of-two window >= n_points (capped at grid size)."""
+        n = int(self.train_ts.shape[0])
+        if not self.bucket_subtraj:
+            return n
+        return min(1 << max(n_points - 1, 1).bit_length(), n)
+
+    def _subtraj_fn(self, bucket_len: int) -> Callable:
+        if bucket_len not in self._subtraj_jits:
+            def loss_traced(params, key, clips, idx_init, idx_end):
+                return self.compute_subtraj_loss_traced(
+                    params, key, clips, idx_init, idx_end,
+                    bucket_len=bucket_len,
+                )
+
+            self._subtraj_jits[bucket_len] = jax.jit(
+                self._make_train_step_impl(loss_traced), donate_argnums=(0,)
+            )
+        return self._subtraj_jits[bucket_len]
+
     def compute_subtraj_loss_traced(
-        self, params, key, clips, idx_init, idx_end
+        self, params, key, clips, idx_init, idx_end, bucket_len: int | None = None
     ):
         ts = self.train_ts
         n = ts.shape[0]
@@ -442,8 +465,15 @@ class SubtrajBridge(Bridge):
         x = sample_uniform(k_unif, domain, batchsize=self.train_batch_size)
         x = mesh_lib.shard_batch(x, self.mesh)
 
-        # Clip the grid: steps outside [t_init, t_end] become dt = 0 no-ops
-        sub_ts = jnp.clip(ts, t_init, t_end)
+        # Clip the grid: steps outside [t_init, t_end] become dt = 0 no-ops.
+        # With a bucket, only the power-of-two window starting at idx_init is
+        # scanned (dynamic_slice clamps the start when idx_init+len > n; the
+        # clip then also zeroes any leading out-of-window steps).
+        if bucket_len is not None and bucket_len < n:
+            window = jax.lax.dynamic_slice_in_dim(ts, idx_init, bucket_len)
+            sub_ts = jnp.clip(window, t_init, t_end)
+        else:
+            sub_ts = jnp.clip(ts, t_init, t_end)
 
         # Endpoint log-probabilities. The terminal potential is detached,
         # the initial one carries gradients (reference solver/oc.py:348-361
@@ -488,7 +518,8 @@ class SubtrajBridge(Bridge):
 
         start_t = time.time()
         clips = self.current_clips()
-        self.train_state, metrics = self._train_step_sub(
+        bucket = self._bucket_len(idx_end - idx_init + 1)
+        self.train_state, metrics = self._subtraj_fn(bucket)(
             self.train_state, clips,
             jnp.asarray(idx_init), jnp.asarray(idx_end),
         )

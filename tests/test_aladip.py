@@ -1,0 +1,119 @@
+"""AlaDip JAX-side pieces, tested without openmm/boltzgen.
+
+The OpenMM stack is absent here (reference README.md:180-181 marks it
+optional), so the host-callback bridge is exercised against a torch
+Gaussian stand-in with a known analytic score, and the chirality filter /
+z-matrix constants are checked directly (reference distr/aladip.py:63-105,
+411-436).
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sde_sampler_tpu.distr import aladip
+
+torch = pytest.importorskip("torch")
+
+
+class _TorchGauss:
+    """log_prob with a known analytic score: N(mu, sigma^2 I)."""
+
+    def __init__(self, mu=0.5, sigma=1.3):
+        self.mu = mu
+        self.sigma = sigma
+
+    def log_prob(self, x):
+        d = x.shape[-1]
+        quad = ((x - self.mu) ** 2).sum(dim=-1) / (2 * self.sigma**2)
+        norm = 0.5 * d * np.log(2 * np.pi * self.sigma**2)
+        return -quad - norm
+
+
+@pytest.fixture(scope="module")
+def bridge():
+    distr = _TorchGauss()
+    log_prob_fn, score_fn = aladip.make_host_log_prob_bridge(distr, torch)
+    return distr, log_prob_fn, score_fn
+
+
+def _analytic_lp(x, mu, sigma):
+    d = x.shape[-1]
+    return (
+        -((x - mu) ** 2).sum(axis=-1) / (2 * sigma**2)
+        - 0.5 * d * np.log(2 * np.pi * sigma**2)
+    )
+
+
+def test_bridge_log_prob_shape_and_values(bridge):
+    distr, log_prob_fn, _ = bridge
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(7, 6)), jnp.float32)
+    lp = log_prob_fn(x)
+    assert lp.shape == (7, 1)
+    np.testing.assert_allclose(
+        np.asarray(lp)[:, 0],
+        _analytic_lp(np.asarray(x), distr.mu, distr.sigma),
+        rtol=1e-5,
+    )
+
+
+def test_bridge_log_prob_inside_jit_and_scan(bridge):
+    _, log_prob_fn, _ = bridge
+
+    @jax.jit
+    def rollout(x):
+        def body(carry, _):
+            carry = carry + 0.1
+            return carry, log_prob_fn(carry)
+        return jax.lax.scan(body, x, None, length=3)
+
+    x = jnp.ones((4, 6))
+    final, lps = rollout(x)
+    assert lps.shape == (3, 4, 1)
+    assert bool(jnp.isfinite(lps).all())
+
+
+def test_bridge_custom_vjp_matches_analytic_score(bridge):
+    distr, log_prob_fn, score_fn = bridge
+    x = jnp.asarray(np.random.default_rng(1).normal(size=(5, 6)), jnp.float32)
+    grad = jax.grad(lambda xx: log_prob_fn(xx).sum())(x)
+    analytic = -(np.asarray(x) - distr.mu) / distr.sigma**2
+    np.testing.assert_allclose(np.asarray(grad), analytic, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(score_fn(x)), analytic, rtol=1e-4, atol=1e-5
+    )
+
+
+def test_chirality_filter_wraparound():
+    d = 60
+    base = np.zeros((4, d), dtype=np.float32)
+    # L-form: diff close to mean_diff=-0.043
+    base[0, 17], base[0, 26] = 0.0, 0.043
+    # D-form: diff ~ +2 (outside threshold 0.8)
+    base[1, 17], base[1, 26] = 2.0, 0.0
+    # wrap-around: raw diff = -2*pi - 0.043 -> wrapped to -0.043 (L-form)
+    base[2, 17], base[2, 26] = -np.pi, np.pi + 0.043
+    # borderline outside: diff = mean - 0.9
+    base[3, 17], base[3, 26] = -0.043 - 0.9, 0.0
+    mask = aladip.filter_chirality(jnp.asarray(base))
+    assert mask.shape == (4, 1)
+    assert mask[:, 0].tolist() == [True, False, True, False]
+
+
+def test_z_matrix_constants_shapes():
+    # molecular facts (reference distr/aladip.py:63-105): 22 atoms total,
+    # every atom appears exactly once as z-matrix row or cartesian anchor
+    internal = {row[0] for row in aladip._Z_MATRIX_INTERNAL}
+    assert len(aladip._Z_MATRIX_INTERNAL) == 19
+    assert sorted(internal | set(aladip._CART_INDICES_INTERNAL)) == list(
+        range(22)
+    )
+    mixed = {row[0] for row in aladip._Z_MATRIX_MIXED}
+    assert len(aladip._Z_MATRIX_MIXED) == 17
+    assert sorted(mixed | set(aladip._CART_INDICES_MIXED)) == list(range(22))
+
+
+def test_aladip_raises_without_openmm():
+    with pytest.raises(ImportError, match="openmm"):
+        aladip.AlaDip()

@@ -126,3 +126,65 @@ def test_interpolation_onto_output_grid():
     np.testing.assert_allclose(
         np.asarray(xs[:, 0, 0]), [0.0, 0.25, 0.5, 1.0], atol=1e-5
     )
+
+
+def test_virtual_brownian_tree_statistics():
+    from sde_sampler_tpu.eq.integrator import VirtualBrownianTree
+
+    bm = VirtualBrownianTree(0.0, 1.0, jax.random.PRNGKey(0), (50_000, 1))
+    assert float(jnp.abs(bm(0.0)).max()) < 1e-6
+    # marginal variance ~ t; disjoint increments uncorrelated
+    w_half = bm(0.5)
+    w_one = bm(1.0)
+    assert float(w_half.var()) == pytest.approx(0.5, rel=0.05)
+    assert float(w_one.var()) == pytest.approx(1.0, rel=0.05)
+    inc = w_one - w_half
+    assert float(inc.var()) == pytest.approx(0.5, rel=0.05)
+    corr = float((w_half * inc).mean()) / 0.5
+    assert abs(corr) < 0.05
+    # refinement consistency: W is a pure function of t
+    assert float(jnp.abs(bm(0.5) - w_half).max()) == 0.0
+
+
+def test_virtual_brownian_tree_continuity():
+    from sde_sampler_tpu.eq.integrator import VirtualBrownianTree
+
+    bm = VirtualBrownianTree(0.0, 1.0, jax.random.PRNGKey(1), (1000, 1))
+    delta = float(jnp.abs(bm(0.3 + 1e-7) - bm(0.3)).max())
+    assert delta < 1e-2
+
+
+def test_adaptive_heun_exact_on_ode():
+    """Zero diffusion: adaptive Heun integrates dx = -x dt to ~exp(-1)."""
+    from sde_sampler_tpu.eq.integrator import AdaptiveHeunIntegrator
+
+    class ODE:
+        def drift(self, t, x):
+            return -x
+
+        def diff(self, t, x):
+            return jnp.zeros_like(x)
+
+    ts = get_timesteps(0.0, 1.0, steps=4)
+    x0 = jnp.ones((8, 3))
+    integ = AdaptiveHeunIntegrator(dt=0.05, rtol=1e-5, atol=1e-7)
+    xs = integ.integrate(ODE(), ts, x0, jax.random.PRNGKey(0))
+    assert xs.shape == (5, 8, 3)
+    np.testing.assert_allclose(
+        np.asarray(xs[-1]), np.exp(-1.0) * np.ones((8, 3)), rtol=1e-4
+    )
+
+
+def test_adaptive_heun_const_ou_marginals():
+    sde = ConstOU(drift_coeff=1.0, diff_coeff=1.5, generative=False)
+    from sde_sampler_tpu.eq.integrator import AdaptiveHeunIntegrator
+
+    x0 = jnp.full((100_000, 1), 2.0)
+    ts = get_timesteps(0.0, 1.0, steps=2)
+    integ = AdaptiveHeunIntegrator(dt=0.02, rtol=1e-2, atol=1e-2)
+    xs = jax.jit(lambda k: integ.integrate(sde, ts, x0, k))(
+        jax.random.PRNGKey(3)
+    )
+    loc, var = sde.marginal_params(jnp.asarray(1.0), jnp.asarray([[2.0]]))
+    assert float(xs[-1].mean()) == pytest.approx(float(loc[0, 0]), abs=0.02)
+    assert float(xs[-1].var()) == pytest.approx(float(var), rel=0.05)

@@ -172,3 +172,27 @@ def test_sinkhorn_device_loop_matches_host_loop():
     n_host_iters = buf.getvalue().count("sinkhorn iter")
     assert n_host_iters < 200, "early exit never triggered; weak test"
     assert abs(fast - slow) < 1e-5
+
+
+def test_pallas_kernels_match_xla_interpret():
+    """2-D-grid streaming Pallas kernels == the XLA path (interpret mode;
+    hardware validation runs via bin/pallas_probe.sh)."""
+    import jax.numpy as jnp
+
+    from sde_sampler_tpu.eval.sinkhorn import _softmin, _transport_cost
+    from sde_sampler_tpu.ops import sinkhorn_pallas as sp
+
+    rng = np.random.default_rng(0)
+    n, m, d = 130, 300, 2
+    x = jnp.asarray(rng.normal(size=(n, d)), jnp.float32)
+    y = jnp.asarray(rng.normal(size=(m, d)) + 0.3, jnp.float32)
+    dual = jnp.asarray(rng.normal(size=(m,)) * 0.01, jnp.float32)
+    u = jnp.asarray(rng.normal(size=(n,)) * 0.01, jnp.float32)
+    eps = 1e-2
+    ref = _softmin(x, y, dual, eps, p=2, row_chunk=64, col_chunk=128)
+    pal = sp.softmin_pallas(x, y, dual, eps, interpret=True)
+    np.testing.assert_allclose(np.asarray(pal), np.asarray(ref), atol=1e-5)
+    ref_t = _transport_cost(x, y, u, dual, eps, p=2, row_chunk=64,
+                            col_chunk=128)
+    pal_t = sp.transport_cost_pallas(x, y, u, dual, eps, interpret=True)
+    np.testing.assert_allclose(float(pal_t), float(ref_t), rtol=1e-5)

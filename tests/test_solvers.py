@@ -140,3 +140,51 @@ def test_graft_entry():
     loss = jax.jit(fn)(*args)
     assert np.isfinite(float(loss))
     mod.dryrun_multichip(8)
+
+
+def test_subtraj_bucket_selection(tmp_path):
+    overrides = ["solver=basic_dis_subtraj", "target=dw_shift"] + TINY
+    solver = build_solver(overrides, tmp_path)
+    n = int(solver.train_ts.shape[0])  # 9 points for 8 steps
+    assert solver._bucket_len(2) == 2
+    assert solver._bucket_len(3) == 4
+    assert solver._bucket_len(5) == 8
+    assert solver._bucket_len(n) == n  # capped at the grid size
+    solver.bucket_subtraj = False
+    assert solver._bucket_len(2) == n
+
+
+def test_subtraj_bucket_full_window_matches_legacy(tmp_path):
+    """bucket_len == grid size reproduces the round-1 clipped-grid
+    computation bitwise (same scan length -> same RNG stream)."""
+    overrides = ["solver=basic_dis_subtraj", "target=dw_shift"] + TINY
+    solver = build_solver(overrides, tmp_path)
+    params = solver.train_state.params
+    clips = solver.current_clips()
+    key = jax.random.PRNGKey(123)
+    n = int(solver.train_ts.shape[0])
+    idx_init, idx_end = jax.numpy.asarray(2), jax.numpy.asarray(5)
+    legacy, _ = solver.compute_subtraj_loss_traced(
+        params, key, clips, idx_init, idx_end, bucket_len=None
+    )
+    full_bucket, _ = solver.compute_subtraj_loss_traced(
+        params, key, clips, idx_init, idx_end, bucket_len=n
+    )
+    assert float(legacy) == float(full_bucket)
+
+
+def test_subtraj_bucketed_training_steps(tmp_path):
+    """Short subtrajectories run on short buckets; training stays finite and
+    the jit cache holds one entry per bucket length."""
+    overrides = ["solver=basic_dis_subtraj", "target=dw_shift"] + TINY
+    solver = build_solver(overrides, tmp_path)
+    solver.subtraj_prob = 1.0  # force the subtrajectory path
+    for _ in range(6):
+        metrics = solver.step()
+        assert np.isfinite(float(metrics["train/loss"]))
+    assert solver._subtraj_jits, "no bucketed compiles happened"
+    n = int(solver.train_ts.shape[0])
+    assert all(
+        length <= n and (length & (length - 1)) == 0 or length == n
+        for length in solver._subtraj_jits
+    )
