@@ -18,14 +18,17 @@ for prec in float32 bfloat16; do
   fi
 done
 
-# 2. Pallas Sinkhorn hardware probe (staged, quick-abort)
-bash bin/pallas_probe.sh > logs/r2/pallas_probe.log 2>&1
-echo "[phase2] pallas probe rc=$? $(date +%H:%M:%S)"
-
-# 3. bench (f32 + bf16 datapoints + MFU)
+# 2. bench (f32 + bf16 datapoints + MFU) — BEFORE the pallas probe, so a
+# wedged chip can't cost us the bench numbers
 python bench.py > logs/r2/bench.json 2> logs/r2/bench.log
 echo "[phase2] bench rc=$? $(date +%H:%M:%S)"
 cat logs/r2/bench.json
+
+# 3. Pallas Sinkhorn hardware probe (staged, quick-abort) — last: if a
+# Mosaic crash wedges the tunneled TPU it recovers in 15-90 min with the
+# chip left quiet, and everything else is already in the bag
+bash bin/pallas_probe.sh > logs/r2/pallas_probe.log 2>&1
+echo "[phase2] pallas probe rc=$? $(date +%H:%M:%S)"
 
 touch logs/r2/PHASE2_DONE
 echo "[phase2] done $(date +%H:%M:%S)"

@@ -557,6 +557,10 @@ class Trainable(Solver):
         self.log_interval = cfg.get("log_interval") or self.train_steps
         self.ckpt_interval = cfg.get("ckpt_interval") or self.train_steps
 
+        # Optional gradient/parameter watcher (reference model_watcher →
+        # wandb.watch; here: in-jit norm reductions, see utils/watch.py)
+        self.model_watcher = instantiate(cfg.get("model_watcher"))
+
         self._train_step = jax.jit(
             self._make_train_step_impl(self.compute_loss_traced),
             donate_argnums=(0,),
@@ -707,6 +711,8 @@ class Trainable(Solver):
                 "train/ema_decay": ema_decay,
             }
         )
+        if self.model_watcher is not None:
+            metrics.update(self.model_watcher.metrics(state.params, grads))
         new_state = state.replace(
             params=params,
             opt_state=opt_state,
@@ -860,6 +866,15 @@ class Trainable(Solver):
             )
 
             last_step = self.n_steps == self.train_steps
+
+            if self.model_watcher is not None and not (
+                self.model_watcher.should_log(self.n_steps)
+            ):
+                metrics = {
+                    k: v
+                    for k, v in metrics.items()
+                    if not k.startswith("watch/")
+                }
 
             if self.n_steps % self.log_interval == 0 or last_step:
                 metrics = {

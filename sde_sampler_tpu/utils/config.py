@@ -288,9 +288,12 @@ def compose(
         if key.startswith("+"):
             mode, key = "add", key[1:]
         # A group override: the key (or its first component) names a config
-        # group directory and the value names a yaml file in it.
+        # group directory and the value names a yaml file in it. Hydra's
+        # `+group@pkg=option` (add a group entry absent from the defaults
+        # list) composes identically — for us every group override not
+        # consumed by a defaults entry is merged at root anyway.
         group_key = key.replace(".", "/").split("@")[0]
-        if mode == "set" and (config_dir / group_key).is_dir():
+        if mode in ("set", "add") and (config_dir / group_key).is_dir():
             if not (config_dir / group_key / f"{raw}.yaml").exists():
                 avail = sorted(
                     p.stem for p in (config_dir / group_key).glob("*.yaml")

@@ -188,3 +188,23 @@ def test_subtraj_bucketed_training_steps(tmp_path):
         length <= n and (length & (length - 1)) == 0 or length == n
         for length in solver._subtraj_jits
     )
+
+
+def test_model_watcher_metrics(tmp_path):
+    """model_watcher attaches per-submodule grad norms to step metrics
+    (the reference's wandb.watch analogue, conf/utils/model_watcher.yaml)."""
+    overrides = (
+        ["solver=basic_dis", "target=dw_shift"]
+        + TINY
+        + ["+utils@model_watcher=model_watcher", "+model_watcher.log=all"]
+    )
+    solver = build_solver(overrides, tmp_path)
+    metrics = solver.step()
+    watch_keys = [k for k in metrics if k.startswith("watch/")]
+    assert any(k.startswith("watch/grad_norm/") for k in watch_keys)
+    assert any(k.startswith("watch/param_norm/") for k in watch_keys)
+    for k in watch_keys:
+        assert np.isfinite(float(metrics[k])), k
+    # thinning: log_freq defaults to eval_interval (1000 in TINY)
+    assert solver.model_watcher.should_log(0)
+    assert not solver.model_watcher.should_log(1)
