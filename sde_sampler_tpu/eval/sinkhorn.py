@@ -42,8 +42,7 @@ def _cost_tile(x_chunk, y_chunk, p: int):
     return ((diff**p).sum(-1)) ** (1.0 / p)
 
 
-@partial(jax.jit, static_argnames=("p", "row_chunk", "col_chunk"))
-def _softmin(x, y, dual, eps, p: int, row_chunk: int, col_chunk: int):
+def _softmin_impl(x, y, dual, eps, p: int, row_chunk: int, col_chunk: int):
     """eps * logsumexp_j((-M_ij + dual_j)/eps) for all rows i, tiled."""
     n = x.shape[0]
     x_pad = _pad_rows(x, row_chunk)
@@ -73,6 +72,11 @@ def _softmin(x, y, dual, eps, p: int, row_chunk: int, col_chunk: int):
 
     lse = jax.lax.map(per_row_chunk, x_chunks).reshape(-1)[:n]
     return eps * lse
+
+
+_softmin = jax.jit(
+    _softmin_impl, static_argnames=("p", "row_chunk", "col_chunk")
+)
 
 
 @partial(
@@ -149,8 +153,9 @@ def _sinkhorn_loop_pallas(
     return u, v
 
 
-@partial(jax.jit, static_argnames=("p", "row_chunk", "col_chunk"))
-def _transport_cost(x, y, u, v, eps, p: int, row_chunk: int, col_chunk: int):
+def _transport_cost_impl(
+    x, y, u, v, eps, p: int, row_chunk: int, col_chunk: int
+):
     """sum_ij P_ij * M_ij with P = exp((-M + u_i + v_j)/eps), tiled."""
     x_pad = _pad_rows(x, row_chunk)
     y_pad = _pad_rows(y, col_chunk)
@@ -177,6 +182,97 @@ def _transport_cost(x, y, u, v, eps, p: int, row_chunk: int, col_chunk: int):
     return jax.lax.map(per_row_chunk, (x_chunks, u_chunks)).sum()
 
 
+_transport_cost = jax.jit(
+    _transport_cost_impl, static_argnames=("p", "row_chunk", "col_chunk")
+)
+
+
+# ---------------------------------------------------------------------------
+# Data-parallel (multi-chip) path: shard the row blocks of both point clouds
+# over the mesh's batch axis. Each device keeps 1/ndev of x and of y; per
+# iteration only the dual vectors are all-gathered over ICI (the point
+# clouds themselves are gathered once, outside the while_loop), and the
+# final transport cost is a single psum. The convergence early-exit stays
+# on-device and is agreed across devices via pmax.
+# ---------------------------------------------------------------------------
+def _sharded_sinkhorn_fn(
+    mesh, axis, eps, stop_thresh, max_iters, p, row_chunk, col_chunk
+):
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    def fn(x_l, y_l, la_l, lb_l, u_l, v_l, mask_x_l, mask_y_l):
+        x_all = jax.lax.all_gather(x_l, axis, tiled=True)
+        y_all = jax.lax.all_gather(y_l, axis, tiled=True)
+        chunks = dict(
+            p=p,
+            row_chunk=min(row_chunk, x_l.shape[0]),
+            col_chunk=min(col_chunk, y_all.shape[0]),
+        )
+        chunks_t = dict(
+            p=p,
+            row_chunk=min(row_chunk, y_l.shape[0]),
+            col_chunk=min(col_chunk, x_all.shape[0]),
+        )
+
+        def cond(state):
+            it, _, _, err = state
+            return (it < max_iters) & (err >= stop_thresh)
+
+        def body(state):
+            it, u_l, v_l, _ = state
+            v_all = jax.lax.all_gather(v_l, axis, tiled=True)
+            u_new = la_l * eps - _softmin_impl(
+                x_l, y_all, v_all, eps, **chunks
+            )
+            u_all = jax.lax.all_gather(u_new, axis, tiled=True)
+            v_new = lb_l * eps - _softmin_impl(
+                y_l, x_all, u_all, eps, **chunks_t
+            )
+            # Padded entries carry -inf duals (their |u - u_new| is nan);
+            # mask them out of the convergence criterion.
+            err_l = jnp.maximum(
+                jnp.where(mask_x_l, jnp.abs(u_l - u_new), 0.0).max(),
+                jnp.where(mask_y_l, jnp.abs(v_l - v_new), 0.0).max(),
+            )
+            err = jax.lax.pmax(err_l, axis)
+            return it + 1, u_new, v_new, err
+
+        _, u_l, v_l, _ = jax.lax.while_loop(
+            cond, body, (jnp.zeros((), jnp.int32), u_l, v_l, jnp.inf)
+        )
+        v_all = jax.lax.all_gather(v_l, axis, tiled=True)
+        cost_l = _transport_cost_impl(
+            x_l, y_all, u_l, v_all, eps, **chunks
+        )
+        cost = jax.lax.psum(cost_l, axis)
+        return u_l, v_l, cost
+
+    row = P(axis)
+    mat = P(axis, None)
+    return jax.jit(
+        shard_map(
+            fn,
+            mesh=mesh,
+            in_specs=(mat, mat, row, row, row, row, row, row),
+            out_specs=(row, row, P()),
+            check_rep=False,
+        )
+    )
+
+
+_SHARDED_CACHE: dict = {}
+
+
+def _sharded_sinkhorn(
+    mesh, axis, eps, stop_thresh, max_iters, p, row_chunk, col_chunk
+):
+    key = (mesh, axis, eps, stop_thresh, max_iters, p, row_chunk, col_chunk)
+    if key not in _SHARDED_CACHE:
+        _SHARDED_CACHE[key] = _sharded_sinkhorn_fn(*key)
+    return _SHARDED_CACHE[key]
+
+
 class Sinkhorn:
     """Entropy-regularized p-Wasserstein distance between point clouds."""
 
@@ -191,6 +287,8 @@ class Sinkhorn:
         row_chunk: int = 1024,
         col_chunk: int = 8192,
         backend: str = "auto",  # "auto" | "pallas" | "xla"
+        mesh=None,
+        mesh_axis: str = "dp",
         **kwargs,
     ):
         if not isinstance(p, int):
@@ -212,6 +310,11 @@ class Sinkhorn:
         self.row_chunk = row_chunk
         self.col_chunk = col_chunk
         self.backend = backend
+        # Optional jax.sharding.Mesh: shard the row blocks of both point
+        # clouds over this mesh's `mesh_axis` (set by the solver when it
+        # runs data-parallel). None = single-device.
+        self.mesh = mesh
+        self.mesh_axis = mesh_axis
 
     def _use_pallas(self, x, y) -> bool:
         # The Mosaic kernels are opt-in (backend="pallas"): on
@@ -255,6 +358,11 @@ class Sinkhorn:
         log_b = jnp.log(w_y)
         u = jnp.zeros_like(w_x)
         v = self.eps * jnp.log(w_y)
+
+        if self.mesh is not None and not self.verbose and not self._use_pallas(
+            x, y
+        ):
+            return self._compute_sharded(x, y, log_a, log_b, u, v)
 
         if self._use_pallas(x, y):
             from sde_sampler_tpu.ops import sinkhorn_pallas as sp
@@ -309,6 +417,42 @@ class Sinkhorn:
                     break
 
         return transport()
+
+    def _compute_sharded(self, x, y, log_a, log_b, u0, v0):
+        """Multi-device path: row blocks of x AND y sharded over the mesh."""
+        ndev = self.mesh.shape[self.mesh_axis]
+        n, m = x.shape[0], y.shape[0]
+        # Row-pad both clouds to a multiple of the device count; padded
+        # entries get -inf log-weight/duals so they contribute exp(-inf)=0.
+        xp, yp = _pad_rows(x, ndev), _pad_rows(y, ndev)
+        la = _pad_rows(log_a, ndev, fill=-jnp.inf)
+        lb = _pad_rows(log_b, ndev, fill=-jnp.inf)
+        up = _pad_rows(u0, ndev, fill=-jnp.inf)
+        vp = _pad_rows(v0, ndev, fill=-jnp.inf)
+        mask_x = jnp.arange(xp.shape[0]) < n
+        mask_y = jnp.arange(yp.shape[0]) < m
+        # Re-commit the (possibly single-device) inputs to the mesh.
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        row_sh = NamedSharding(self.mesh, P(self.mesh_axis))
+        mat_sh = NamedSharding(self.mesh, P(self.mesh_axis, None))
+        xp, yp = jax.device_put(xp, mat_sh), jax.device_put(yp, mat_sh)
+        la, lb, up, vp, mask_x, mask_y = (
+            jax.device_put(a, row_sh)
+            for a in (la, lb, up, vp, mask_x, mask_y)
+        )
+        fn = _sharded_sinkhorn(
+            self.mesh,
+            self.mesh_axis,
+            float(self.eps),
+            float(self.stop_thresh),
+            self.max_iters,
+            self.p,
+            min(self.row_chunk, max(xp.shape[0] // ndev, 1)),
+            min(self.col_chunk, yp.shape[0]),
+        )
+        _, _, cost = fn(xp, yp, la, lb, up, vp, mask_x, mask_y)
+        return cost
 
     def __call__(self, x, y, w_x=None, w_y=None):
         if self.n_max is not None:

@@ -322,6 +322,13 @@ class Solver:
                 name: instantiate(loss_cfg)
                 for name, loss_cfg in cfg["eval_sample_losses"].items()
             }
+            if self.mesh is not None:
+                # Data-parallel eval: losses that understand a device mesh
+                # (Sinkhorn) shard their row blocks over it.
+                for loss in self.eval_sample_losses.values():
+                    if hasattr(loss, "mesh"):
+                        loss.mesh = self.mesh
+                        loss.mesh_axis = mesh_lib.BATCH_AXIS
 
         # Logging and checkpoints
         self.plot_results: bool = cfg.get("plot_results", True)

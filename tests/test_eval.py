@@ -196,3 +196,35 @@ def test_pallas_kernels_match_xla_interpret():
                             col_chunk=128)
     pal_t = sp.transport_cost_pallas(x, y, u, dual, eps, interpret=True)
     np.testing.assert_allclose(float(pal_t), float(ref_t), rtol=1e-5)
+
+
+def test_sinkhorn_sharded_matches_singledevice():
+    """Mesh-sharded Sinkhorn (row blocks of x AND y over 'dp', duals
+    all-gathered per iteration, psum'd transport cost) equals the
+    single-device while_loop path — including ragged sizes that need
+    row padding and non-uniform weights."""
+    from sde_sampler_tpu.parallel.mesh import get_mesh
+
+    mesh = get_mesh()
+    assert mesh is not None, "tests run on an 8-device virtual mesh"
+    rng = np.random.default_rng(3)
+    # 1001 rows exercise the pad-to-multiple-of-ndev path. Unweighted
+    # clouds must be equal-sized (reference quirk: the uniform w_y is
+    # scaled by n/m, so unequal unweighted clouds fail its sum check).
+    x = jnp.asarray(rng.normal(size=(1001, 5)), jnp.float32)
+    y = jnp.asarray(rng.normal(size=(1001, 5)) + 0.25, jnp.float32)
+    kwargs = dict(eps=1e-2, max_iters=25, stop_thresh=1e-6,
+                  row_chunk=128, col_chunk=256)
+    single = float(Sinkhorn(**kwargs)(x, y))
+    sharded = float(Sinkhorn(mesh=mesh, **kwargs)(x, y))
+    np.testing.assert_allclose(sharded, single, rtol=1e-4)
+
+    # ragged + weighted variant (importance-weighted eval path)
+    y2 = y[:517]
+    w_x = jnp.asarray(rng.uniform(0.5, 1.5, size=1001), jnp.float32)
+    w_x = w_x / w_x.sum()
+    w_y = jnp.full((517,), 1.0 / 517, jnp.float32)
+    w_y = w_y / w_y.sum()
+    single_w = float(Sinkhorn(**kwargs)(x, y2, w_x=w_x, w_y=w_y))
+    sharded_w = float(Sinkhorn(mesh=mesh, **kwargs)(x, y2, w_x=w_x, w_y=w_y))
+    np.testing.assert_allclose(sharded_w, single_w, rtol=1e-4)
