@@ -34,14 +34,21 @@ class LangevinSolver(Solver):
             raise ValueError("Specify more eval_steps than burn_steps.")
 
     def run(self) -> Results:
+        from sde_sampler_tpu.parallel import mesh as mesh_lib
+
         start_time = time.time()
         x = self.prior.sample(
             self.next_key(), (self.cfg["eval_batch_size"],)
         )
         ts = self.eval_ts
+        # ULA chains are independent: the batch shards over the dp mesh and
+        # the scan runs SPMD (no collectives needed until the host reduce).
         xs = jax.jit(
             lambda key, x0: self.integrator.integrate(
-                self.sde, ts=ts, x_init=x0, key=key
+                self.sde,
+                ts=ts,
+                x_init=mesh_lib.shard_batch(x0, self.mesh),
+                key=key,
             )
         )(self.next_key(), x)
         jax.block_until_ready(xs)

@@ -208,3 +208,24 @@ def test_model_watcher_metrics(tmp_path):
     # thinning: log_freq defaults to eval_interval (1000 in TINY)
     assert solver.model_watcher.should_log(0)
     assert not solver.model_watcher.should_log(1)
+
+
+def test_langevin_sharded_smoke(tmp_path):
+    """ULA baseline shards its chain batch over the dp mesh."""
+    overrides = [
+        "solver=langevin",
+        "target=dw_shift",
+        "eval_batch_size=64",
+        "eval_timesteps.steps=50",
+        "eval_expectation_burn=10",
+        "n_devices=8",
+        "plot_results=False",
+        "store_last_ckpt=False",
+        "~eval_sample_losses",
+    ]
+    solver = build_solver(overrides, tmp_path)
+    assert solver.mesh is not None
+    solver.target.compute_stats(solver.next_key())
+    results = solver.run()
+    assert results.samples.shape == (64, 1)
+    assert np.isfinite(results.expectation_preds["square"])
