@@ -94,3 +94,102 @@ class ProcessPoolLauncher:
         if failed:
             logging.error("multirun jobs failed: %s", failed)
         return codes
+
+
+class SlurmLauncher:
+    """Submitit-style Slurm launcher (reference conf/launcher/slurm.yaml).
+
+    Writes one sbatch script per multirun job and submits it with `sbatch`.
+    `--requeue` + the wandb run-id-from-out-dir scheme (utils/wandb.py)
+    reproduce the reference's preemption-resume flow: a requeued job gets
+    the same run id and restores the latest checkpoint. When `sbatch` is
+    not on PATH (or submit=False) the scripts are still written under
+    `sbatch_dir`, so the launcher is inspectable and testable off-cluster.
+    """
+
+    def __init__(
+        self,
+        nodes: int = 1,
+        cpus_per_task: int = 2,
+        timeout_min: int = 4320,
+        partition: str | None = None,
+        qos: str | None = None,
+        constraint: str | None = None,
+        gres: str | None = None,
+        max_num_timeout: int = 3,
+        submit: bool | None = None,
+        sbatch_dir: str | None = None,
+        env: dict | None = None,
+        **kwargs,
+    ):
+        self.nodes = int(nodes)
+        self.cpus_per_task = int(cpus_per_task)
+        self.timeout_min = int(timeout_min)
+        self.partition = partition
+        self.qos = qos
+        self.constraint = constraint
+        self.gres = gres
+        self.max_num_timeout = int(max_num_timeout)
+        self.submit = submit
+        self.sbatch_dir = sbatch_dir
+        self.env = {k: str(v) for k, v in (env or {}).items()}
+
+    def _script(self, idx: int, job: list[str], out_dir: Path) -> str:
+        lines = [
+            "#!/bin/bash",
+            f"#SBATCH --job-name=sde_sampler_{idx}",
+            f"#SBATCH --nodes={self.nodes}",
+            f"#SBATCH --cpus-per-task={self.cpus_per_task}",
+            f"#SBATCH --time={self.timeout_min}",
+            f"#SBATCH --output={out_dir}/slurm_%j.out",
+            "#SBATCH --open-mode=append",
+            "#SBATCH --requeue",
+        ]
+        for flag, value in (
+            ("partition", self.partition),
+            ("qos", self.qos),
+            ("constraint", self.constraint),
+            ("gres", self.gres),
+        ):
+            if value:
+                lines.append(f"#SBATCH --{flag}={value}")
+        lines.append("")
+        for key, value in self.env.items():
+            lines.append(f"export {key}={value}")
+        quoted = " ".join(f"'{o}'" for o in job)
+        lines.append(
+            f"srun {sys.executable} {REPO_ROOT / 'scripts' / 'main.py'} "
+            f"{quoted}"
+        )
+        return "\n".join(lines) + "\n"
+
+    def run(self, jobs: list[list[str]], main_fn=None) -> list[int]:
+        import shutil
+
+        sbatch_dir = Path(self.sbatch_dir or Path.cwd() / "sbatch")
+        sbatch_dir.mkdir(parents=True, exist_ok=True)
+        submit = self.submit
+        if submit is None:
+            submit = shutil.which("sbatch") is not None
+        codes = []
+        for i, job in enumerate(jobs):
+            out_dir = sbatch_dir / f"job_{i}"
+            out_dir.mkdir(parents=True, exist_ok=True)
+            script = sbatch_dir / f"job_{i}.sh"
+            script.write_text(self._script(i, job, out_dir))
+            if submit:
+                proc = subprocess.run(
+                    ["sbatch", str(script)], capture_output=True, text=True
+                )
+                logging.info(
+                    "[multirun job %d] sbatch rc=%d %s",
+                    i, proc.returncode, proc.stdout.strip(),
+                )
+                codes.append(proc.returncode)
+            else:
+                logging.info(
+                    "[multirun job %d] wrote %s (sbatch unavailable)",
+                    i, script,
+                )
+                codes.append(0)
+        return codes

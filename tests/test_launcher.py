@@ -61,3 +61,32 @@ def test_process_pool_multirun_overlaps(tmp_path):
     assert spans[1][0] < spans[0][1], (
         f"jobs did not overlap: {spans}"
     )
+
+
+def test_slurm_launcher_writes_sbatch_scripts(tmp_path):
+    """launcher=slurm generates submittable sbatch scripts per multirun job
+    (submit auto-disables off-cluster; reference conf/launcher/slurm.yaml)."""
+    main = load_main()
+    codes = main.main(
+        [
+            "-m",
+            "target=dw_shift",
+            "solver=basic_dis",
+            "seed=1,2",
+            "train_steps=2",
+            "launcher=slurm",
+            "launcher.partition=tpu",
+            f"launcher.sbatch_dir={tmp_path}/sbatch",
+            "+launcher.env.JAX_PLATFORMS=cpu",
+            f"out_dir={tmp_path}",
+        ]
+    )
+    assert codes == [0, 0]
+    for i in range(2):
+        script = (tmp_path / "sbatch" / f"job_{i}.sh").read_text()
+        assert "#SBATCH --requeue" in script
+        assert "#SBATCH --partition=tpu" in script
+        assert "#SBATCH --time=4320" in script
+        assert "export JAX_PLATFORMS=cpu" in script
+        assert f"seed={1 + i}" in script
+        assert "scripts/main.py" in script
