@@ -90,3 +90,39 @@ def test_slurm_launcher_writes_sbatch_scripts(tmp_path):
         assert "export JAX_PLATFORMS=cpu" in script
         assert f"seed={1 + i}" in script
         assert "scripts/main.py" in script
+
+
+def test_sweep_script_expands_grid(tmp_path):
+    """scripts/sweep.py turns a wandb-style grid sweep into multirun jobs."""
+    import importlib.util
+
+    sweep_yaml = tmp_path / "sweep.yaml"
+    sweep_yaml.write_text(
+        "method: grid\n"
+        "parameters:\n"
+        "  seed:\n"
+        "    values: [1, 2]\n"
+        "  target:\n"
+        "    value: dw_shift\n"
+    )
+    spec = importlib.util.spec_from_file_location(
+        "sweep", REPO_ROOT / "scripts" / "sweep.py"
+    )
+    sweep = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(sweep)
+    codes = sweep.main(
+        [
+            str(sweep_yaml),
+            "solver=basic_dis",
+            "train_steps=2",
+            "train_batch_size=8",
+            "train_timesteps.steps=4",
+            "eval_batch_size=16",
+            "eval_init=False",
+            "plot_results=False",
+            f"out_dir={tmp_path}/out",
+        ]
+    )
+    assert len(codes) == 2
+    for i in range(2):
+        assert (tmp_path / "out" / f"job{i}" / "metrics.jsonl").exists()
