@@ -37,7 +37,7 @@ def fmt(v):
     return f"{v:.4f}"
 
 
-def main(root: str):
+def table(root: str) -> str:
     rows = []
     for metrics_file in sorted(Path(root).glob("*/metrics.jsonl")):
         name = metrics_file.parent.name
@@ -45,13 +45,27 @@ def main(root: str):
         if m is None:
             continue
         rows.append((name, m))
-    header = "| Run | " + " | ".join(label for _, label in KEYS) + " |"
-    print(header)
-    print("|" + "---|" * (len(KEYS) + 1))
+    lines = ["| Run | " + " | ".join(label for _, label in KEYS) + " |"]
+    lines.append("|" + "---|" * (len(KEYS) + 1))
     for name, m in rows:
         cells = " | ".join(fmt(m.get(k)) for k, _ in KEYS)
-        print(f"| {name} | {cells} |")
+        lines.append(f"| {name} | {cells} |")
+    return "\n".join(lines)
+
+
+START, END = "<!-- GRID_TABLE_START -->", "<!-- GRID_TABLE_END -->"
+
+
+def update_results(root: str, results_md: Path):
+    """Rewrite the marked grid-table block in RESULTS.md."""
+    text = results_md.read_text()
+    head, rest = text.split(START, 1)
+    _, tail = rest.split(END, 1)
+    results_md.write_text(head + START + "\n" + table(root) + "\n" + END + tail)
 
 
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else "logs/r2")
+    root = sys.argv[1] if len(sys.argv) > 1 else "logs/r2"
+    if "--update-results" in sys.argv:
+        update_results(root, Path(__file__).parents[1] / "RESULTS.md")
+    print(table(root))
