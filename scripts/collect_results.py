@@ -37,10 +37,17 @@ def fmt(v):
     return f"{v:.4f}"
 
 
+# Runs that are not paper-scale benchmark cells (chip-liveness smoke, the
+# bf16-vs-f32 quick-start quality pair) stay out of the published table.
+EXCLUDE_PREFIXES = ("smoke", "quick_")
+
+
 def table(root: str) -> str:
     rows = []
     for metrics_file in sorted(Path(root).glob("*/metrics.jsonl")):
         name = metrics_file.parent.name
+        if name.startswith(EXCLUDE_PREFIXES):
+            continue
         m = last_eval_line(metrics_file)
         if m is None:
             continue
@@ -65,7 +72,15 @@ def update_results(root: str, results_md: Path):
 
 
 if __name__ == "__main__":
-    root = sys.argv[1] if len(sys.argv) > 1 else "logs/r2"
-    if "--update-results" in sys.argv:
-        update_results(root, Path(__file__).parents[1] / "RESULTS.md")
-    print(table(root))
+    import argparse
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("root", nargs="?", default="logs/r2")
+    parser.add_argument(
+        "--update-results", action="store_true",
+        help="rewrite the marked grid-table block in RESULTS.md",
+    )
+    args = parser.parse_args()
+    if args.update_results:
+        update_results(args.root, Path(__file__).parents[1] / "RESULTS.md")
+    print(table(args.root))

@@ -33,15 +33,34 @@ from sde_sampler_tpu.utils import wandb as wandb_shim  # noqa: E402
 from sde_sampler_tpu.utils.config import compose, locate  # noqa: E402
 
 
+def _split_choices(values: str) -> list[str]:
+    """Split on top-level commas only (commas inside [...]/{...} are part
+    of a single value, matching hydra's sweep grammar)."""
+    parts, depth, cur = [], 0, []
+    for ch in values:
+        if ch in "[{(":
+            depth += 1
+        elif ch in "]})":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    return parts
+
+
 def _expand_multirun(overrides: list[str]) -> list[list[str]]:
     """Cartesian product over comma-separated override values (hydra -m)."""
     import itertools
 
     choices = []
     for ov in overrides:
-        if "=" in ov and "," in ov.split("=", 1)[1]:
-            key, _, values = ov.partition("=")
-            choices.append([f"{key}={v}" for v in values.split(",")])
+        parts = _split_choices(ov.split("=", 1)[1]) if "=" in ov else []
+        if len(parts) > 1:
+            key = ov.partition("=")[0]
+            choices.append([f"{key}={v}" for v in parts])
         else:
             choices.append([ov])
     return [list(combo) for combo in itertools.product(*choices)]
@@ -57,12 +76,25 @@ def main(argv: list[str] | None = None):
             multirun = True
     if multirun:
         jobs = _expand_multirun(overrides)
+        # Every job gets an explicit, stable out_dir: derived from the
+        # user's out_dir= when given, else a timestamped multirun root
+        # fixed HERE (not per-process) so requeued/parallel jobs never
+        # race to a fresh timestamp (wandb run ids hash the out_dir).
+        now = datetime.datetime.now()
+        default_root = (
+            REPO_ROOT / "logs" / "multirun" / now.strftime("%Y-%m-%d")
+            / now.strftime("%H-%M-%S")
+        )
         jobs = [
             [
                 f"out_dir={ov.split('=', 1)[1]}/job{i}"
                 if ov.startswith("out_dir=") else ov
                 for ov in job
             ]
+            + (
+                [] if any(ov.startswith("out_dir=") for ov in job)
+                else [f"out_dir={default_root}/job{i}"]
+            )
             + [f"+job_id={i}"]
             for i, job in enumerate(jobs)
         ]

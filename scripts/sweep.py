@@ -39,6 +39,19 @@ def sweep_overrides(sweep_cfg: dict) -> list[str]:
             values = [spec["value"]]
         else:
             raise ValueError(f"parameter {key!r} needs `values` or `value`")
+        for v in values:
+            # values are joined with commas for the multirun grammar, which
+            # splits on top-level commas only — a bare comma inside a value
+            # would be re-split into bogus jobs, so reject it up front
+            s, depth = str(v), 0
+            for ch in s:
+                depth += ch in "[{("
+                depth -= ch in "]})"
+                if ch == "," and depth == 0:
+                    raise ValueError(
+                        f"value {v!r} for {key!r} contains a top-level "
+                        "comma; wrap it in [...] or quote it differently"
+                    )
         overrides.append(f"{key}=" + ",".join(str(v) for v in values))
     return overrides
 

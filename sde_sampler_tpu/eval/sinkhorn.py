@@ -198,7 +198,12 @@ _transport_cost = jax.jit(
 def _sharded_sinkhorn_fn(
     mesh, axis, eps, stop_thresh, max_iters, p, row_chunk, col_chunk
 ):
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map  # jax >= 0.8
+        sm_kwargs = {"check_vma": False}
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
+        sm_kwargs = {"check_rep": False}
     from jax.sharding import PartitionSpec as P
 
     def fn(x_l, y_l, la_l, lb_l, u_l, v_l, mask_x_l, mask_y_l):
@@ -256,7 +261,7 @@ def _sharded_sinkhorn_fn(
             mesh=mesh,
             in_specs=(mat, mat, row, row, row, row, row, row),
             out_specs=(row, row, P()),
-            check_rep=False,
+            **sm_kwargs,
         )
     )
 

@@ -135,10 +135,15 @@ class SlurmLauncher:
         self.env = {k: str(v) for k, v in (env or {}).items()}
 
     def _script(self, idx: int, job: list[str], out_dir: Path) -> str:
+        import shlex
+
         lines = [
             "#!/bin/bash",
             f"#SBATCH --job-name=sde_sampler_{idx}",
             f"#SBATCH --nodes={self.nodes}",
+            # one training process regardless of nodes (the job itself is
+            # single-process; nodes>1 only reserves them, submitit-style)
+            "#SBATCH --ntasks=1",
             f"#SBATCH --cpus-per-task={self.cpus_per_task}",
             f"#SBATCH --time={self.timeout_min}",
             f"#SBATCH --output={out_dir}/slurm_%j.out",
@@ -154,12 +159,20 @@ class SlurmLauncher:
             if value:
                 lines.append(f"#SBATCH --{flag}={value}")
         lines.append("")
-        for key, value in self.env.items():
-            lines.append(f"export {key}={value}")
-        quoted = " ".join(f"'{o}'" for o in job)
+        # submitit enforces max_num_timeout client-side; here the script
+        # stops requeueing itself once SLURM_RESTART_COUNT exceeds it.
         lines.append(
-            f"srun {sys.executable} {REPO_ROOT / 'scripts' / 'main.py'} "
-            f"{quoted}"
+            f"if [ \"${{SLURM_RESTART_COUNT:-0}}\" -gt "
+            f"{self.max_num_timeout} ]; then\n"
+            f"  echo 'max_num_timeout ({self.max_num_timeout}) exceeded'; "
+            f"exit 1\nfi"
+        )
+        for key, value in self.env.items():
+            lines.append(f"export {key}={shlex.quote(str(value))}")
+        quoted = " ".join(shlex.quote(o) for o in job)
+        lines.append(
+            f"srun {shlex.quote(sys.executable)} "
+            f"{shlex.quote(str(REPO_ROOT / 'scripts' / 'main.py'))} {quoted}"
         )
         return "\n".join(lines) + "\n"
 
