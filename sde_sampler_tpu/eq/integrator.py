@@ -33,7 +33,15 @@ def _interpolate_to_grid(
 
 
 class Integrator:
-    def integrate(self, sde, ts, x_init, key, timesteps=None):
+    def integrate(self, sde, ts, x_init, key, timesteps=None, bm=None):
+        """Roll out `sde` from x_init over ts.
+
+        `bm` (optional) is a Brownian path W(t) — e.g. a
+        VirtualBrownianTree — used for the noise increments instead of iid
+        normals, mirroring the reference's `bm` argument
+        (reference eq/integrator.py:12-21): the same path can then drive
+        integrations at different resolutions (strong-convergence tests,
+        Brownian reuse across schemes)."""
         raise NotImplementedError
 
 
@@ -59,6 +67,7 @@ class EulerIntegrator(Integrator):
         x_init: jnp.ndarray,
         key: jax.Array,
         timesteps: jnp.ndarray | None = None,
+        bm=None,
     ) -> jnp.ndarray:
         if timesteps is None:
             # ts is a concrete (setup-time) grid even under jit tracing
@@ -74,7 +83,10 @@ class EulerIntegrator(Integrator):
             s, t = inp
             k, sub = jax.random.split(k)
             dt = t - s
-            noise = jax.random.normal(sub, x.shape) * jnp.sqrt(dt)
+            if bm is None:
+                noise = jax.random.normal(sub, x.shape) * jnp.sqrt(dt)
+            else:
+                noise = bm(t) - bm(s)
             x_next = x + sde.drift(s, x) * dt + sde.diff(s, x) * noise
             return (x_next, k), x_next
 
@@ -172,12 +184,13 @@ class AdaptiveHeunIntegrator(Integrator):
         self.min_factor = min_factor
         self.depth = depth
 
-    def integrate(self, sde, ts, x_init, key, timesteps=None):
+    def integrate(self, sde, ts, x_init, key, timesteps=None, bm=None):
         ts_host = np.asarray(ts)
-        bm = VirtualBrownianTree(
-            float(ts_host[0]), float(ts_host[-1]), key, x_init.shape,
-            depth=self.depth,
-        )
+        if bm is None:
+            bm = VirtualBrownianTree(
+                float(ts_host[0]), float(ts_host[-1]), key, x_init.shape,
+                depth=self.depth,
+            )
 
         def heun_step(t, x, dt):
             d_w = bm(t + dt) - bm(t)
@@ -245,7 +258,7 @@ class HeunIntegrator(Integrator):
         self.steps = steps
         self.rescale_t = rescale_t
 
-    def integrate(self, sde, ts, x_init, key, timesteps=None):
+    def integrate(self, sde, ts, x_init, key, timesteps=None, bm=None):
         if timesteps is None:
             ts_host = np.asarray(ts)
             timesteps = get_timesteps(
@@ -259,7 +272,10 @@ class HeunIntegrator(Integrator):
             s, t = inp
             k, sub = jax.random.split(k)
             dt = t - s
-            noise = jax.random.normal(sub, x.shape) * jnp.sqrt(dt)
+            if bm is None:
+                noise = jax.random.normal(sub, x.shape) * jnp.sqrt(dt)
+            else:
+                noise = bm(t) - bm(s)
             drift_s = sde.drift(s, x)
             diff_s = sde.diff(s, x)
             x_pred = x + drift_s * dt + diff_s * noise

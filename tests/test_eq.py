@@ -188,3 +188,29 @@ def test_adaptive_heun_const_ou_marginals():
     loc, var = sde.marginal_params(jnp.asarray(1.0), jnp.asarray([[2.0]]))
     assert float(xs[-1].mean()) == pytest.approx(float(loc[0, 0]), abs=0.02)
     assert float(xs[-1].var()) == pytest.approx(float(var), rel=0.05)
+
+
+def test_euler_strong_convergence_order():
+    """EM on additive noise has strong order 1: driving two resolutions
+    with the SAME VirtualBrownianTree path, halving dt by 8x shrinks the
+    pathwise error ~8x (reference exposes the same Brownian-reuse via the
+    integrator `bm` argument)."""
+    from sde_sampler_tpu.eq.integrator import VirtualBrownianTree
+    from sde_sampler_tpu.eq.sdes import ConstOU
+
+    sde = ConstOU(drift_coeff=1.0, diff_coeff=1.0, generative=False)
+    x0 = jnp.full((8, 1), 1.5)
+    ts = jnp.asarray([0.0, 1.0])
+    bm = VirtualBrownianTree(0.0, 1.0, jax.random.PRNGKey(7), x0.shape)
+    key = jax.random.PRNGKey(0)  # unused when bm drives the noise
+
+    def terminal(steps):
+        integrator = EulerIntegrator(steps=steps)
+        return integrator.integrate(sde, ts, x0, key, bm=bm)[-1]
+
+    reference = terminal(4096)
+    err_coarse = float(jnp.abs(terminal(64) - reference).max())
+    err_fine = float(jnp.abs(terminal(512) - reference).max())
+    assert err_coarse > err_fine > 0
+    # order ~1 => ratio ~8; leave slack but exclude order 1/2 (ratio ~2.8)
+    assert err_coarse / err_fine > 4.5, (err_coarse, err_fine)
