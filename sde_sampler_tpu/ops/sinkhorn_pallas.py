@@ -108,16 +108,22 @@ def _grid_call(kernel, x, y, row_vecs, col_vecs, *, eps, interpret):
     n_row_blocks = x_pad.shape[0] // ROW_BLOCK
     n_col_chunks = y_pad.shape[0] // COL_CHUNK
 
+    vmem = pltpu.VMEM if hasattr(pltpu, "VMEM") else None
+    kw = {"memory_space": vmem} if vmem is not None else {}
     in_specs = [
-        pl.BlockSpec((ROW_BLOCK, d), lambda i, j: (i, 0)),
-        pl.BlockSpec((COL_CHUNK, d), lambda i, j: (j, 0)),
+        pl.BlockSpec((ROW_BLOCK, d), lambda i, j: (i, 0), **kw),
+        pl.BlockSpec((COL_CHUNK, d), lambda i, j: (j, 0), **kw),
     ]
     args = [x_pad, y_pad]
     for vec in row_vecs:
-        in_specs.append(pl.BlockSpec((ROW_BLOCK, 1), lambda i, j: (i, 0)))
+        in_specs.append(
+            pl.BlockSpec((ROW_BLOCK, 1), lambda i, j: (i, 0), **kw)
+        )
         args.append(_pad_to(vec.reshape(-1, 1), ROW_BLOCK, fill=-jnp.inf))
     for vec in col_vecs:
-        in_specs.append(pl.BlockSpec((1, COL_CHUNK), lambda i, j: (0, j)))
+        in_specs.append(
+            pl.BlockSpec((1, COL_CHUNK), lambda i, j: (0, j), **kw)
+        )
         args.append(
             _pad_to(vec.reshape(1, -1), COL_CHUNK, axis=1, fill=-jnp.inf)
         )
@@ -126,7 +132,7 @@ def _grid_call(kernel, x, y, row_vecs, col_vecs, *, eps, interpret):
         partial(kernel, eps=eps, n_col_chunks=n_col_chunks),
         grid=(n_row_blocks, n_col_chunks),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((ROW_BLOCK, 1), lambda i, j: (i, 0)),
+        out_specs=pl.BlockSpec((ROW_BLOCK, 1), lambda i, j: (i, 0), **kw),
         out_shape=jax.ShapeDtypeStruct((x_pad.shape[0], 1), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((ROW_BLOCK, 1), jnp.float32),
