@@ -21,7 +21,10 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 _ACTIVATIONS: dict[str, Callable] = {
-    "gelu": jax.nn.gelu,
+    # exact (erf) GELU: the reference's torch.nn.GELU default
+    # (conf/model/base/fouriermlp.yaml) — keeps imported torch checkpoints
+    # bit-comparable; jax.nn.gelu defaults to the tanh approximation
+    "gelu": lambda x: jax.nn.gelu(x, approximate=False),
     "relu": jax.nn.relu,
     "silu": jax.nn.silu,
     "tanh": jnp.tanh,

@@ -534,6 +534,15 @@ class Trainable(Solver):
         # accelerator so the jitted hot loops compile for it)
         with device_lib.host_device():
             params = self.init_params()
+            if cfg.get("params_file"):
+                # Warm-start from imported parameters (e.g. a reference
+                # torch checkpoint converted by scripts/import_torch_ckpt.py)
+                from sde_sampler_tpu.utils import torch_import
+
+                params = torch_import.merge_params(
+                    params,
+                    torch_import.load_params_file(cfg["params_file"]),
+                )
             opt_state = self.optimizer.init(params)
             # distinct buffers: the train step donates the whole state, and
             # aliased params/ema leaves would be donated twice
