@@ -110,7 +110,19 @@ def main(argv: list[str] | None = None):
             from sde_sampler_tpu.utils.launcher import SequentialLauncher
 
             launcher = SequentialLauncher()
-        return launcher.run(jobs, main)
+        results = launcher.run(jobs, main)
+        # Subprocess launchers return per-job exit codes; a failed job must
+        # fail the sweep (the sequential launcher raises in-process instead).
+        failed = [
+            i for i, rc in enumerate(results)
+            if isinstance(rc, int) and rc != 0
+        ]
+        if failed:
+            raise SystemExit(
+                f"multirun: {len(failed)}/{len(results)} jobs failed "
+                f"(indices {failed})"
+            )
+        return results
 
     cfg = compose(REPO_ROOT / "conf", "base", overrides)
 

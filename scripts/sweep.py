@@ -24,6 +24,19 @@ import yaml
 REPO_ROOT = Path(__file__).resolve().parents[1]
 
 
+def _load_main():
+    """Import scripts/main.py as a module (scripts/ is not a package)."""
+    if "sde_sampler_main" in sys.modules:
+        return sys.modules["sde_sampler_main"]
+    spec = importlib.util.spec_from_file_location(
+        "sde_sampler_main", REPO_ROOT / "scripts" / "main.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["sde_sampler_main"] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
 def sweep_overrides(sweep_cfg: dict) -> list[str]:
     """Turn a wandb grid-sweep `parameters` block into multirun overrides."""
     method = sweep_cfg.get("method", "grid")
@@ -39,19 +52,17 @@ def sweep_overrides(sweep_cfg: dict) -> list[str]:
             values = [spec["value"]]
         else:
             raise ValueError(f"parameter {key!r} needs `values` or `value`")
+        split = _load_main()._split_choices
         for v in values:
             # values are joined with commas for the multirun grammar, which
-            # splits on top-level commas only — a bare comma inside a value
-            # would be re-split into bogus jobs, so reject it up front
-            s, depth = str(v), 0
-            for ch in s:
-                depth += ch in "[{("
-                depth -= ch in "]})"
-                if ch == "," and depth == 0:
-                    raise ValueError(
-                        f"value {v!r} for {key!r} contains a top-level "
-                        "comma; wrap it in [...] or quote it differently"
-                    )
+            # splits on top-level commas only — validate with THE splitter
+            # main.py uses, so a value the expander would re-split into
+            # bogus jobs is rejected up front (single grammar, no drift)
+            if len(split(str(v))) > 1:
+                raise ValueError(
+                    f"value {v!r} for {key!r} contains a top-level "
+                    "comma; wrap it in [...] or quote it differently"
+                )
         overrides.append(f"{key}=" + ",".join(str(v) for v in values))
     return overrides
 
@@ -64,12 +75,7 @@ def main(argv: list[str] | None = None) -> list[int]:
     with open(sweep_file) as f:
         sweep_cfg = yaml.safe_load(f)
 
-    spec = importlib.util.spec_from_file_location(
-        "sde_sampler_main", REPO_ROOT / "scripts" / "main.py"
-    )
-    mod = importlib.util.module_from_spec(spec)
-    sys.modules.setdefault("sde_sampler_main", mod)
-    spec.loader.exec_module(mod)
+    mod = _load_main()
     return mod.main(["-m", *sweep_overrides(sweep_cfg), *extra])
 
 

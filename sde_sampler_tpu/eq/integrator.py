@@ -185,10 +185,15 @@ class AdaptiveHeunIntegrator(Integrator):
         self.depth = depth
 
     def integrate(self, sde, ts, x_init, key, timesteps=None, bm=None):
-        ts_host = np.asarray(ts)
+        # `timesteps`, when given, is the caller's internal grid (the same
+        # contract Euler/Heun honor): the controller adapts WITHIN each
+        # [timesteps[i], timesteps[i+1]] segment, and the dense solution is
+        # interpolated back onto the output grid `ts`.
+        grid = ts if timesteps is None else timesteps
+        grid_host = np.asarray(grid)
         if bm is None:
             bm = VirtualBrownianTree(
-                float(ts_host[0]), float(ts_host[-1]), key, x_init.shape,
+                float(grid_host[0]), float(grid_host[-1]), key, x_init.shape,
                 depth=self.depth,
             )
 
@@ -238,11 +243,14 @@ class AdaptiveHeunIntegrator(Integrator):
             _, x, dt = jax.lax.while_loop(cond, body, (t_start, x, dt))
             return (x, dt), x
 
-        ts_pairs = (jnp.asarray(ts[:-1]), jnp.asarray(ts[1:]))
+        grid_pairs = (jnp.asarray(grid[:-1]), jnp.asarray(grid[1:]))
         (_, _), xs_tail = jax.lax.scan(
-            segment, (x_init, jnp.asarray(self.dt)), ts_pairs
+            segment, (x_init, jnp.asarray(self.dt)), grid_pairs
         )
-        return jnp.concatenate([x_init[None], xs_tail], axis=0)
+        xs = jnp.concatenate([x_init[None], xs_tail], axis=0)
+        if timesteps is None:
+            return xs
+        return _interpolate_to_grid(jnp.asarray(grid), xs, jnp.asarray(ts))
 
 
 class HeunIntegrator(Integrator):

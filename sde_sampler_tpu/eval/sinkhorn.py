@@ -108,6 +108,13 @@ def _sinkhorn_loop(
         it, _, _, err = state
         return (it < max_iters) & (err >= stop_thresh)
 
+    # Zero-weight entries (log weight -inf) keep -inf duals forever; their
+    # |u - u_new| is (-inf)-(-inf) = nan, and `nan >= stop_thresh` is False,
+    # which would silently early-exit the loop with unconverged duals. Mask
+    # them out of the convergence criterion (they carry no transport mass).
+    fin_a = jnp.isfinite(log_a)
+    fin_b = jnp.isfinite(log_b)
+
     def body(state):
         it, u, v, _ = state
         u_new = log_a * eps - _softmin(
@@ -117,7 +124,8 @@ def _sinkhorn_loop(
             y, x, u_new, eps, p=p, row_chunk=row_chunk, col_chunk=col_chunk
         )
         err = jnp.maximum(
-            jnp.abs(u - u_new).max(), jnp.abs(v - v_new).max()
+            jnp.where(fin_a, jnp.abs(u - u_new), 0.0).max(),
+            jnp.where(fin_b, jnp.abs(v - v_new), 0.0).max(),
         )
         return it + 1, u_new, v_new, err
 
@@ -138,12 +146,18 @@ def _sinkhorn_loop_pallas(
         it, _, _, err = state
         return (it < max_iters) & (err >= stop_thresh)
 
+    # See _sinkhorn_loop: exclude zero-weight (-inf dual) entries from the
+    # convergence criterion so their nan deltas can't trigger a false exit.
+    fin_a = jnp.isfinite(log_a)
+    fin_b = jnp.isfinite(log_b)
+
     def body(state):
         it, u, v, _ = state
         u_new = log_a * eps - sp.softmin_pallas(x, y, v, eps)
         v_new = log_b * eps - sp.softmin_pallas(y, x, u_new, eps)
         err = jnp.maximum(
-            jnp.abs(u - u_new).max(), jnp.abs(v - v_new).max()
+            jnp.where(fin_a, jnp.abs(u - u_new), 0.0).max(),
+            jnp.where(fin_b, jnp.abs(v - v_new), 0.0).max(),
         )
         return it + 1, u_new, v_new, err
 
@@ -408,13 +422,17 @@ class Sinkhorn:
                 col_chunk=min(self.col_chunk, y.shape[0]),
             )
         else:
+            fin_a = jnp.isfinite(log_a)
+            fin_b = jnp.isfinite(log_b)
             for it in range(self.max_iters):
                 u_prev, v_prev = u, v
                 u = log_a * self.eps - softmin(x, y, v)
                 v = log_b * self.eps - softmin(y, x, u)
+                # Zero-weight entries keep -inf duals; their nan deltas must
+                # not poison the convergence check (see _sinkhorn_loop).
                 max_err = max(
-                    float(jnp.abs(u_prev - u).max()),
-                    float(jnp.abs(v_prev - v).max()),
+                    float(jnp.where(fin_a, jnp.abs(u_prev - u), 0.0).max()),
+                    float(jnp.where(fin_b, jnp.abs(v_prev - v), 0.0).max()),
                 )
                 if self.verbose:
                     print(f"sinkhorn iter {it}: max_err={max_err:.3g}")
@@ -434,8 +452,10 @@ class Sinkhorn:
         lb = _pad_rows(log_b, ndev, fill=-jnp.inf)
         up = _pad_rows(u0, ndev, fill=-jnp.inf)
         vp = _pad_rows(v0, ndev, fill=-jnp.inf)
-        mask_x = jnp.arange(xp.shape[0]) < n
-        mask_y = jnp.arange(yp.shape[0]) < m
+        # Mask padding AND zero-weight entries out of the convergence
+        # criterion: both carry -inf duals whose deltas are nan.
+        mask_x = (jnp.arange(xp.shape[0]) < n) & jnp.isfinite(la)
+        mask_y = (jnp.arange(yp.shape[0]) < m) & jnp.isfinite(lb)
         # Re-commit the (possibly single-device) inputs to the mesh.
         from jax.sharding import NamedSharding, PartitionSpec as P
 

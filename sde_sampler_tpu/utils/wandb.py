@@ -129,21 +129,11 @@ def check_wandb(fun):
 def merge_wandb_cfg(cfg: dict) -> dict:
     """Deep-merge the resumed run's stored config under the current cfg
     (current overrides win — reference utils/wandb.py:45-51)."""
+    import copy
 
-    def deep_merge(base: dict, override: dict) -> dict:
-        out = dict(base)
-        for k, v in override.items():
-            if (
-                k in out
-                and isinstance(out[k], dict)
-                and isinstance(v, dict)
-            ):
-                out[k] = deep_merge(out[k], v)
-            else:
-                out[k] = v
-        return out
+    from sde_sampler_tpu.utils.config import deep_merge
 
-    wandb_config = dict(_backend.run.config)
+    wandb_config = copy.deepcopy(dict(_backend.run.config))
     wandb_config.pop("hydra", None)
     merged = deep_merge(wandb_config, dict(cfg))
     logging.info("Merged config with wandb config.")

@@ -228,3 +228,41 @@ def test_sinkhorn_sharded_matches_singledevice():
     single_w = float(Sinkhorn(**kwargs)(x, y2, w_x=w_x, w_y=w_y))
     sharded_w = float(Sinkhorn(mesh=mesh, **kwargs)(x, y2, w_x=w_x, w_y=w_y))
     np.testing.assert_allclose(sharded_w, single_w, rtol=1e-4)
+
+
+def test_sinkhorn_zero_weights_do_not_poison_convergence():
+    """Zero-weight entries (log weight -inf) keep -inf duals whose deltas
+    are nan; a nan error must NOT early-exit the fused while_loop (nan >=
+    thresh is False). Regression: zero-weighted points == points removed,
+    across the fused, host-loop, and sharded paths."""
+    from sde_sampler_tpu.parallel.mesh import get_mesh
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(200, 3)), jnp.float32)
+    y = jnp.asarray(rng.normal(size=(180, 3)) + 0.3, jnp.float32)
+    w_x = jnp.asarray(rng.uniform(0.5, 1.5, size=200), jnp.float32)
+    w_x = w_x.at[:13].set(0.0)  # dead importance weights
+    w_x = w_x / w_x.sum()
+    w_y = jnp.full((180,), 1.0 / 180, jnp.float32)
+    kwargs = dict(eps=1e-1, max_iters=300, stop_thresh=1e-6)
+
+    fused = float(Sinkhorn(**kwargs)(x, y, w_x=w_x, w_y=w_y))
+    # oracle: drop the zero-weight points entirely
+    oracle = float(
+        Sinkhorn(**kwargs)(x[13:], y, w_x=w_x[13:], w_y=w_y)
+    )
+    assert fused == pytest.approx(oracle, rel=1e-4)
+
+    import contextlib
+    import io
+
+    with contextlib.redirect_stdout(io.StringIO()):
+        host = float(Sinkhorn(verbose=True, **kwargs)(x, y, w_x=w_x, w_y=w_y))
+    assert host == pytest.approx(oracle, rel=1e-4)
+
+    mesh = get_mesh()
+    if mesh is not None:
+        sharded = float(
+            Sinkhorn(mesh=mesh, **kwargs)(x, y, w_x=w_x, w_y=w_y)
+        )
+        assert sharded == pytest.approx(oracle, rel=1e-4)

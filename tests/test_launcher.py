@@ -63,6 +63,30 @@ def test_process_pool_multirun_overlaps(tmp_path):
     )
 
 
+def test_multirun_failure_propagates(tmp_path):
+    """A failed job in a subprocess-launcher sweep must fail the sweep
+    (exit code surfaces as SystemExit, not a silent rc list)."""
+    import pytest
+
+    main = load_main()
+    with pytest.raises(SystemExit, match="jobs failed"):
+        main.main(
+            [
+                "-m",
+                "target=dw_shift",
+                "solver=basic_dis",
+                "seed=1,2",
+                "train_steps=2",
+                "loss.method=bogus_method",
+                "launcher=joblib",
+                "launcher.n_jobs=2",
+                "launcher.env.JAX_PLATFORMS=cpu",
+                "launcher.clean_pythonpath=True",
+                f"out_dir={tmp_path}",
+            ]
+        )
+
+
 def test_slurm_launcher_writes_sbatch_scripts(tmp_path):
     """launcher=slurm generates submittable sbatch scripts per multirun job
     (submit auto-disables off-cluster; reference conf/launcher/slurm.yaml)."""
