@@ -190,6 +190,36 @@ def test_adaptive_heun_const_ou_marginals():
     assert float(xs[-1].var()) == pytest.approx(float(var), rel=0.05)
 
 
+def test_adaptive_heun_honors_timesteps_grid():
+    """`timesteps` is the internal grid contract all integrators share: the
+    adaptive controller refines WITHIN each timesteps segment and the result
+    is interpolated onto the output grid ts (regression: the argument used
+    to be silently ignored)."""
+    from sde_sampler_tpu.eq.integrator import AdaptiveHeunIntegrator
+
+    class ODE:
+        def drift(self, t, x):
+            return -x
+
+        def diff(self, t, x):
+            return jnp.zeros_like(x)
+
+    ts = jnp.asarray([0.0, 0.3, 1.0])
+    internal = get_timesteps(0.0, 1.0, steps=16)
+    x0 = jnp.ones((4, 2))
+    integ = AdaptiveHeunIntegrator(dt=0.05, rtol=1e-5, atol=1e-7)
+    xs = integ.integrate(ODE(), ts, x0, jax.random.PRNGKey(0),
+                         timesteps=internal)
+    # output aligned to ts, not to the internal grid
+    assert xs.shape == (3, 4, 2)
+    np.testing.assert_allclose(
+        np.asarray(xs[1]), np.exp(-0.3) * np.ones((4, 2)), rtol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(xs[2]), np.exp(-1.0) * np.ones((4, 2)), rtol=1e-3
+    )
+
+
 def test_euler_strong_convergence_order():
     """EM on additive noise has strong order 1: driving two resolutions
     with the SAME VirtualBrownianTree path, halving dt by 8x shrinks the
