@@ -2,15 +2,29 @@
 # Phase 4 (idle-window): re-run the LV cells whose paper-scale numbers were
 # only recorded in round 1 (the round-1 logs were wiped by the workspace
 # reset), so logs/r2 holds the complete {DIS,PIS,DDS} x {KL,LV} grid and
-# scripts/collect_results.py can render one self-contained table.
+# scripts/collect_results.py can render one self-contained table. Bonus
+# cells cover the remaining two loss methods (lv_traj, kl_ito) at paper
+# scale. A deadline guard keeps the chip free for the driver's
+# end-of-round bench run.
 set -u
 cd "$(dirname "$0")/.."
 mkdir -p logs/r2
+
+# Skip new launches after this time (UTC, HH:MM) — round ends ~07:12 and the
+# driver benches on the real chip; leave it quiet well before.
+DEADLINE="${R2_PHASE4_DEADLINE:-05:50}"
+
+past_deadline() {
+  [ "$(date -u +%H:%M)" \> "$DEADLINE" ]
+}
 
 run() {
   local name="$1"; shift
   if [ -f "logs/r2/$name/metrics.jsonl" ]; then
     echo "[phase4] SKIP $name"; return
+  fi
+  if past_deadline; then
+    echo "[phase4] DEADLINE ($DEADLINE UTC) passed — skipping $name"; return
   fi
   echo "[phase4] START $name: $* $(date +%H:%M:%S)"
   python scripts/main.py "$@" out_dir="logs/r2/$name" \
@@ -23,6 +37,10 @@ run gmm_dis_lv    target=gmm      solver=dis $GRID_ARGS
 run dw_pis_lv     target=dw_shift solver=pis $GRID_ARGS
 run funnel_dis_lv target=funnel   solver=dis $GRID_ARGS
 run funnel_dds_lv target=funnel   solver=dds $GRID_ARGS
+
+# Bonus: the other two loss methods at paper scale
+run gmm_dis_lv_traj target=gmm solver=dis loss.method=lv_traj loss.traj_per_sample=8 train_batch_size=256 $GRID_ARGS
+run gmm_dis_kl_ito  target=gmm solver=dis loss.method=kl_ito $GRID_ARGS
 
 touch logs/r2/PHASE4_DONE
 echo "[phase4] ALL DONE $(date +%H:%M:%S)"
