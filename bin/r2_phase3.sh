@@ -24,9 +24,5 @@ run nice_dis_lv target=nice solver=dis eval_init=False eval_interval=60000
 run rosenbrock_dis target=rosenbrock solver=dis train_steps=10000 \
   eval_init=False eval_interval=10000
 
-# Seed replicates of a flagship cell (mean +/- spread like the papers)
-run gmm_dis_lv_seed1 target=gmm solver=dis seed=1 eval_init=False eval_interval=60000
-run gmm_dis_lv_seed2 target=gmm solver=dis seed=2 eval_init=False eval_interval=60000
-
 touch logs/r2/PHASE3_DONE
 echo "[phase3] ALL DONE $(date +%H:%M:%S)"

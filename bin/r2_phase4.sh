@@ -42,5 +42,10 @@ run funnel_dds_lv target=funnel   solver=dds $GRID_ARGS
 run gmm_dis_lv_traj target=gmm solver=dis loss.method=lv_traj loss.traj_per_sample=8 train_batch_size=256 $GRID_ARGS
 run gmm_dis_kl_ito  target=gmm solver=dis loss.method=kl_ito $GRID_ARGS
 
+# Seed replicates of the flagship cell (mean +/- spread like the papers) —
+# lowest priority, last before the deadline
+run gmm_dis_lv_seed1 target=gmm solver=dis seed=1 $GRID_ARGS
+run gmm_dis_lv_seed2 target=gmm solver=dis seed=2 $GRID_ARGS
+
 touch logs/r2/PHASE4_DONE
 echo "[phase4] ALL DONE $(date +%H:%M:%S)"
