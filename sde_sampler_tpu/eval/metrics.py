@@ -182,8 +182,9 @@ def get_metrics(
 
     # Objective (global optimization targets)
     if hasattr(distr, "objective"):
+        # objective returns (n, 1); squeeze the single-row result
         metrics["eval/obj_avg"] = float(
-            distr.objective(samples.mean(axis=0, keepdims=True))
+            distr.objective(samples.mean(axis=0, keepdims=True)).squeeze()
         )
         metrics["eval/avg_obj"] = float(distr.objective(samples).mean())
         metrics["eval/min_obj"] = float(distr.objective(samples).min())

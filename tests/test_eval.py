@@ -93,6 +93,26 @@ def test_metrics_self_consistency_on_groundtruth():
     assert metrics["error/sinkhorn"] < 0.5
 
 
+def test_objective_metrics_on_rosenbrock():
+    """Global-optimization targets log obj stats; `eval/obj_avg` is the
+    objective AT the mean sample, whose (1, 1) result must squeeze to a
+    scalar (regression: float() on it raised)."""
+    from sde_sampler_tpu.distr.rosenbrock import Rosenbrock
+
+    distr = Rosenbrock(dim=4, flatness=10.0)
+    samples = jax.random.normal(jax.random.PRNGKey(0), (256, 4))
+    metrics = get_metrics(distr=distr, samples=samples, weights=None)
+    obj = np.asarray(distr.objective(samples))
+    assert metrics["eval/min_obj"] == pytest.approx(float(obj.min()))
+    assert metrics["eval/avg_obj"] == pytest.approx(
+        float(obj.mean()), rel=1e-6
+    )
+    mean_obj = distr.objective(samples.mean(axis=0, keepdims=True))
+    assert metrics["eval/obj_avg"] == pytest.approx(
+        float(np.asarray(mean_obj).squeeze()), rel=1e-6
+    )
+
+
 def test_img_target():
     from sde_sampler_tpu.distr.img import Img
 
