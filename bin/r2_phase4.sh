@@ -12,7 +12,7 @@ mkdir -p logs/r2
 
 # Skip new launches after this time (UTC, HH:MM) — round ends ~07:12 and the
 # driver benches on the real chip; leave it quiet well before.
-DEADLINE="${R2_PHASE4_DEADLINE:-05:50}"
+DEADLINE="${R2_PHASE4_DEADLINE:-06:25}"
 
 past_deadline() {
   [ "$(date -u +%H:%M)" \> "$DEADLINE" ]
