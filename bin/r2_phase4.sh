@@ -1,11 +1,14 @@
 #!/bin/bash
-# Phase 4 (idle-window): re-run the LV cells whose paper-scale numbers were
-# only recorded in round 1 (the round-1 logs were wiped by the workspace
-# reset), so logs/r2 holds the complete {DIS,PIS,DDS} x {KL,LV} grid and
-# scripts/collect_results.py can render one self-contained table. Bonus
-# cells cover the remaining two loss methods (lv_traj, kl_ito) at paper
-# scale. A deadline guard keeps the chip free for the driver's
-# end-of-round bench run.
+# Phase 4 (idle-window, priority order):
+#   1. Continue Cox (whitened) from the 60k checkpoint toward 140k steps —
+#      VERDICT item 2 wants rel err <= ~0.02-0.03 vs 512.6 and the 20k/40k
+#      evals (0.070 -> 0.050) were still improving. Resume = relaunch with
+#      the same out_dir (setup() restores the latest checkpoint) and a
+#      larger train_steps; ckpt_interval keeps progress if the window ends.
+#   2. Re-run the LV cells whose paper-scale numbers were only recorded in
+#      round 1 (round-1 logs were wiped), completing the round-2 grid table.
+#   3. Bonus loss methods (lv_traj, kl_ito) and seed replicates.
+# A deadline guard keeps the chip free for the driver's end-of-round bench.
 set -u
 cd "$(dirname "$0")/.."
 mkdir -p logs/r2
@@ -32,18 +35,30 @@ run() {
   echo "[phase4] DONE $name rc=$? $(date +%H:%M:%S)"
 }
 
+# 1. Cox continuation (not via run(): the out_dir deliberately has metrics).
+#    The COX_EXTENDED marker makes the step idempotent across requeues.
+if [ -f "logs/r2/cox_whitened_60k/ckpt/ckpt_final.pkl" ] \
+   && ! grep -q COX_EXTENDED logs/r2/cox_whitened_60k.log 2>/dev/null \
+   && ! past_deadline; then
+  echo "[phase4] START cox_extend (resume 60k -> 140k) $(date +%H:%M:%S)"
+  echo "COX_EXTENDED" >> logs/r2/cox_whitened_60k.log
+  python scripts/main.py target=cox +target.use_whitened=True solver=dis \
+    train_steps=140000 train_batch_size=1024 eval_batch_size=100000 \
+    eval_init=False eval_interval=20000 ckpt_interval=20000 \
+    out_dir=logs/r2/cox_whitened_60k >> logs/r2/cox_whitened_60k.log 2>&1
+  echo "[phase4] DONE cox_extend rc=$? $(date +%H:%M:%S)"
+fi
+
 GRID_ARGS="eval_init=False eval_interval=60000"
+# 2. round-1-only LV cells
 run gmm_dis_lv    target=gmm      solver=dis $GRID_ARGS
 run dw_pis_lv     target=dw_shift solver=pis $GRID_ARGS
 run funnel_dis_lv target=funnel   solver=dis $GRID_ARGS
 run funnel_dds_lv target=funnel   solver=dds $GRID_ARGS
 
-# Bonus: the other two loss methods at paper scale
+# 3. Bonus loss methods + seed replicates
 run gmm_dis_lv_traj target=gmm solver=dis loss.method=lv_traj loss.traj_per_sample=8 train_batch_size=256 $GRID_ARGS
 run gmm_dis_kl_ito  target=gmm solver=dis loss.method=kl_ito $GRID_ARGS
-
-# Seed replicates of the flagship cell (mean +/- spread like the papers) —
-# lowest priority, last before the deadline
 run gmm_dis_lv_seed1 target=gmm solver=dis seed=1 $GRID_ARGS
 run gmm_dis_lv_seed2 target=gmm solver=dis seed=2 $GRID_ARGS
 
