@@ -45,10 +45,32 @@ def deep_merge(dst: dict, src: dict) -> dict:
     return dst
 
 
+def _materialize_interp_dict(cfg: dict, value: Any) -> dict | None:
+    """If `value` is a full-string `${path}` interpolation resolving to a
+    dict, return a deep copy of that dict (else None). Lets dotted overrides
+    write INTO interpolation-valued keys (e.g. `eval_timesteps.steps=400`
+    when `eval_timesteps: ${train_timesteps}`): the alias is expanded first,
+    so the override doesn't clobber the aliased config with a bare dict."""
+    if not isinstance(value, str):
+        return None
+    match = _INTERP_RE.fullmatch(value)
+    if match is None:
+        return None
+    ref = match.group(1).strip()
+    if ref.startswith(("eval:", "oc.env:", "now:")):
+        return None
+    target = get_by_path(cfg, ref)
+    return copy.deepcopy(target) if isinstance(target, dict) else None
+
+
 def set_by_path(cfg: dict, dotted: str, value: Any, *, allow_new: bool = True):
     keys = dotted.split(".")
     node = cfg
     for key in keys[:-1]:
+        if key in node and not isinstance(node[key], dict):
+            expanded = _materialize_interp_dict(cfg, node[key])
+            if expanded is not None:
+                node[key] = expanded
         if key not in node or not isinstance(node[key], dict):
             if not allow_new and key not in node:
                 raise ConfigError(f"Cannot override missing key: {dotted}")

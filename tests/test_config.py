@@ -37,6 +37,23 @@ def test_group_and_value_overrides():
     assert cfg["scale_loss"] == pytest.approx(1 / 10)
 
 
+def test_override_into_interpolated_dict():
+    """A dotted override into an interpolation-valued key materializes the
+    aliased dict first (regression: `eval_timesteps.steps=400` when
+    `eval_timesteps: ${train_timesteps}` clobbered the alias with a bare
+    {steps: 400} dict, dropping _target_)."""
+    cfg = compose(
+        CONF, "base",
+        ["target=funnel", "solver=dis", "eval_timesteps.steps=400"],
+    )
+    assert cfg["eval_timesteps"]["steps"] == 400
+    assert "_target_" in cfg["eval_timesteps"]
+    # the aliased source keeps its own value
+    assert cfg["train_timesteps"]["steps"] == 200
+    ts = instantiate(cfg["eval_timesteps"])()
+    assert ts.shape[0] == 401
+
+
 def test_eval_resolver_typing():
     cfg = compose(CONF, "base", ["solver=dis", "target=gmm"])
     # nested ${eval:"0.02**(100/${train_steps})"} must be a float
