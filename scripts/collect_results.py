@@ -37,9 +37,10 @@ def fmt(v):
     return f"{v:.4f}"
 
 
-# Runs that are not paper-scale benchmark cells (chip-liveness smoke, the
-# bf16-vs-f32 quick-start quality pair) stay out of the published table.
-EXCLUDE_PREFIXES = ("smoke", "quick_")
+# Runs that are not paper-scale grid cells (chip-liveness smoke, the
+# bf16-vs-f32 quick-start quality pair, Cox — which has its own RESULTS
+# section with the 512.6-anchor analysis) stay out of the published table.
+EXCLUDE_PREFIXES = ("smoke", "quick_", "cox")
 
 
 def table(root: str) -> str:
