@@ -1,13 +1,11 @@
 #!/bin/bash
 # Phase 4 (idle-window, priority order):
-#   1. Continue Cox (whitened) from the 60k checkpoint toward 140k steps —
-#      VERDICT item 2 wants rel err <= ~0.02-0.03 vs 512.6 and the 20k/40k
-#      evals (0.070 -> 0.050) were still improving. Resume = relaunch with
-#      the same out_dir (setup() restores the latest checkpoint) and a
-#      larger train_steps; ckpt_interval keeps progress if the window ends.
-#   2. Re-run the LV cells whose paper-scale numbers were only recorded in
+#   1. Re-run the LV cells whose paper-scale numbers were only recorded in
 #      round 1 (round-1 logs were wiped), completing the round-2 grid table.
-#   3. Bonus loss methods (lv_traj, kl_ito) and seed replicates.
+#   2. Bonus loss methods (lv_traj, kl_ito) and seed replicates.
+#   (The planned Cox training extension was dropped: fine-grid evals of the
+#   60k checkpoint showed the plateau was EM discretization bias — eval at
+#   800 steps already hits rel err 0.023, see RESULTS.md Notes on Cox.)
 # A deadline guard keeps the chip free for the driver's end-of-round bench.
 set -u
 cd "$(dirname "$0")/.."
@@ -34,20 +32,6 @@ run() {
     > "logs/r2/$name.log" 2>&1
   echo "[phase4] DONE $name rc=$? $(date +%H:%M:%S)"
 }
-
-# 1. Cox continuation (not via run(): the out_dir deliberately has metrics).
-#    The COX_EXTENDED marker makes the step idempotent across requeues.
-if [ -f "logs/r2/cox_whitened_60k/ckpt/ckpt_final.pkl" ] \
-   && ! grep -q COX_EXTENDED logs/r2/cox_whitened_60k.log 2>/dev/null \
-   && ! past_deadline; then
-  echo "[phase4] START cox_extend (resume 60k -> 140k) $(date +%H:%M:%S)"
-  echo "COX_EXTENDED" >> logs/r2/cox_whitened_60k.log
-  python scripts/main.py target=cox +target.use_whitened=True solver=dis \
-    train_steps=140000 train_batch_size=1024 eval_batch_size=100000 \
-    eval_init=False eval_interval=20000 ckpt_interval=20000 \
-    out_dir=logs/r2/cox_whitened_60k >> logs/r2/cox_whitened_60k.log 2>&1
-  echo "[phase4] DONE cox_extend rc=$? $(date +%H:%M:%S)"
-fi
 
 GRID_ARGS="eval_init=False eval_interval=60000"
 # 2. round-1-only LV cells
