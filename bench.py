@@ -95,9 +95,15 @@ def _model_flops_per_step(solver, batch, em_steps):
     return 3 * fwd * batch * em_steps
 
 
-def _measure(solver, n_iters=50, warmup=3, steps_per_call=1):
-    import jax
+def _sync(metrics):
+    """Force a REAL device->host sync. On the tunneled (relay-attached) TPU
+    `jax.block_until_ready` returns before the queued programs finish (it
+    wedged round-1/2 numbers ~2-13x high); materializing the scalar is the
+    only reliable barrier."""
+    return float(metrics["train/loss"])
 
+
+def _measure(solver, n_iters=50, warmup=3, steps_per_call=1):
     step = (
         solver.step
         if steps_per_call == 1
@@ -105,12 +111,12 @@ def _measure(solver, n_iters=50, warmup=3, steps_per_call=1):
     )
     for _ in range(warmup):
         metrics = step()
-    jax.block_until_ready(metrics["train/loss"])
+    _sync(metrics)
     n_calls = max(n_iters // steps_per_call, 1)
     start = time.time()
     for _ in range(n_calls):
         metrics = step()
-    jax.block_until_ready(metrics["train/loss"])
+    _sync(metrics)
     return time.time() - start, n_calls * steps_per_call
 
 
