@@ -194,6 +194,18 @@ def test_sinkhorn_device_loop_matches_host_loop():
     assert abs(fast - slow) < 1e-5
 
 
+def test_sinkhorn_backend_auto_selection():
+    """backend='auto' picks pallas only on a real single-device TPU;
+    explicit 'pallas' forces it where applicable; p!=2 is never pallas."""
+    x = jnp.zeros((4, 2))
+    y = jnp.zeros((5, 2))
+    # tests run on CPU -> auto stays on the XLA path
+    assert not Sinkhorn()._use_pallas(x, y)
+    assert Sinkhorn(backend="pallas")._use_pallas(x, y)
+    assert not Sinkhorn(backend="xla")._use_pallas(x, y)
+    assert not Sinkhorn(backend="pallas", p=1)._use_pallas(x, y)
+
+
 def test_pallas_kernels_match_xla_interpret():
     """2-D-grid streaming Pallas kernels == the XLA path (interpret mode;
     hardware validation runs via bin/pallas_probe.sh)."""
