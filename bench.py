@@ -137,7 +137,9 @@ def main():
         "--skip-bf16", action="store_true",
         help="skip the bf16 matmul-policy datapoint",
     )
-    parser.add_argument("--iters", type=int, default=50)
+    # enough steps that real compute dominates the single end-of-window
+    # sync (one tunnel round trip, ~0.5-1.5 s on a relay-attached TPU)
+    parser.add_argument("--iters", type=int, default=2000)
     parser.add_argument("--batch", type=int, default=2048)
     parser.add_argument(
         "--steps-per-call", type=int, default=10,
