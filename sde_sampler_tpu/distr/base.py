@@ -75,7 +75,8 @@ class Distribution:
             if name not in self.expectations:
                 self.expectations[name] = float(fn(samples).mean())
         if self.stddevs is None:
-            self.stddevs = samples.std(axis=0)
+            # ddof=1 matches the torch .std the reference computes these with
+            self.stddevs = samples.std(axis=0, ddof=1)
 
     def compute_stats_integration(self):
         from sde_sampler_tpu.utils import quad

@@ -125,8 +125,8 @@ def get_metrics(
         metrics["eval/effective_sample_size"] = ess
         metrics["eval/norm_effective_sample_size"] = ess / weights.shape[0]
 
-    # Stddevs
-    stddevs = samples.std(axis=0)
+    # Stddevs (ddof=1: torch's .std(dim=0) is Bessel-corrected)
+    stddevs = samples.std(axis=0, ddof=1)
     avg_stddev = float(stddevs.mean())
     means = samples.mean(axis=0)
     metrics["eval/avg_stddev"] = avg_stddev
@@ -159,7 +159,13 @@ def get_metrics(
         if hasattr(distr, "sample"):
             from sde_sampler_tpu.utils import device as device_lib
 
-            key = sample_key if sample_key is not None else jax.random.PRNGKey(0)
+            if sample_key is not None:
+                key = sample_key
+            else:
+                # deterministic fallback; built on host (never create PRNG
+                # keys on the tunneled accelerator — see CLAUDE.md)
+                with device_lib.host_device():
+                    key = jax.random.PRNGKey(0)
             gt_samples = distr.sample(key, (samples.shape[0],))
             assert gt_samples.shape == samples.shape
             if distr.domain is not None:
@@ -186,7 +192,8 @@ def get_metrics(
         metrics["eval/obj_avg"] = float(
             distr.objective(samples.mean(axis=0, keepdims=True)).squeeze()
         )
-        metrics["eval/avg_obj"] = float(distr.objective(samples).mean())
-        metrics["eval/min_obj"] = float(distr.objective(samples).min())
+        obj = distr.objective(samples)
+        metrics["eval/avg_obj"] = float(obj.mean())
+        metrics["eval/min_obj"] = float(obj.min())
 
     return metrics

@@ -32,11 +32,26 @@ def divx_exact(fn: Callable, t, x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarra
     value = f(x)
     d = x.shape[-1]
 
-    def one(e):
-        return jax.jvp(f, (x,), (jnp.tile(e[None, :], (x.shape[0], 1)),))[1]
+    if d <= 64:
+        # One batched JVP sweep; the (d, B, d) buffer is tiny at these dims.
+        def one(e):
+            return jax.jvp(f, (x,), (jnp.tile(e[None, :], (x.shape[0], 1)),))[1]
 
-    jvs = jax.vmap(one)(jnp.eye(d, dtype=x.dtype))  # (d, B, d)
-    div = jnp.einsum("ibi->b", jvs)[:, None]
+        jvs = jax.vmap(one)(jnp.eye(d, dtype=x.dtype))  # (d, B, d)
+        div = jnp.einsum("ibi->b", jvs)[:, None]
+        return div, value
+
+    # High-d: accumulate the Jacobian diagonal sequentially — O(B*d) live
+    # memory instead of the O(B*d^2) vmapped stack (scan stays
+    # reverse-differentiable, unlike fori_loop with traced state).
+    def body(acc, i):
+        e = jnp.zeros((d,), x.dtype).at[i].set(1.0)
+        _, jv = jax.jvp(f, (x,), (jnp.broadcast_to(e, x.shape),))
+        return acc + jnp.take(jv, i, axis=-1)[:, None], None
+
+    div, _ = jax.lax.scan(
+        body, jnp.zeros((x.shape[0], 1), x.dtype), jnp.arange(d)
+    )
     return div, value
 
 
@@ -140,7 +155,17 @@ class BaseOCLoss:
     def filter(self, rnd, samples=None):
         mask = jnp.ones_like(rnd, dtype=bool)
         if samples is not None and self.filter_samples is not None:
-            mask = mask & self.filter_samples(samples)
+            filt = self.filter_samples(samples)
+            # a (B,)-shaped filter would broadcast to a (B, B) mask that
+            # silently neutralizes filtering (reference asserts the same,
+            # its losses/oc.py:77); shapes are static, so this check runs
+            # at trace time
+            if filt.shape != rnd.shape:
+                raise ValueError(
+                    f"filter_samples must return shape {rnd.shape}, got "
+                    f"{filt.shape}"
+                )
+            mask = mask & filt
         if self.max_rnd is None:
             return mask & jnp.isfinite(rnd)
         return mask & (rnd < self.max_rnd)
@@ -241,11 +266,18 @@ class TimeReversalLoss(BaseOCLoss):
         def body(carry, inp):
             x, rnd, ito, key = carry
             s, t = inp
-            key, k_noise, k_extra = jax.random.split(key, 3)
+            # distinct keys for EM noise, the exploration-noise/dropout of
+            # the detached SDE control, and the Hutchinson probes — the
+            # latter two previously shared one key (consumed by BOTH a
+            # split inside generative_and_sde_ctrl and a fold_in inside
+            # divx_hutchinson), which breaks the single-use contract and
+            # can correlate the divergence probes with the exploration
+            # noise
+            key, k_noise, k_ctrl, k_div = jax.random.split(key, 4)
 
             if change_sde_ctrl:
                 generative_ctrl, sde_ctrl = self.generative_and_sde_ctrl(
-                    s, x, k_extra
+                    s, x, k_ctrl
                 )
             else:
                 sde_ctrl = generative_ctrl = self.generative_ctrl(s, x)
@@ -261,7 +293,7 @@ class TimeReversalLoss(BaseOCLoss):
                     )
                 else:
                     div_ctrl, inference_ctrl = divx_hutchinson(
-                        self.inference_ctrl, s, x, k_extra,
+                        self.inference_ctrl, s, x, k_div,
                         noise_type=use_div_estimator,
                     )
                 # assumes the diffusion coefficient is independent of x

@@ -202,6 +202,30 @@ def test_divergence_exact_and_hutchinson():
     assert float(jnp.abs(div_h.mean() - 5.0)) < 0.5
 
 
+def test_divergence_exact_high_dim_branch():
+    """d>64 takes the sequential O(B*d)-memory scan path; must agree with
+    the analytic trace and stay differentiable."""
+    d = 100
+    key = jax.random.PRNGKey(2)
+    a = jax.random.normal(key, (d, d)) / d
+
+    def fn(t, x):
+        return jnp.tanh(x) @ a.T
+
+    x = jax.random.normal(jax.random.PRNGKey(3), (8, d))
+    div, val = divx_exact(fn, 0.0, x)
+    # analytic: div = sum_i a_ii * (1 - tanh(x_i)^2)
+    expected = ((1 - jnp.tanh(x) ** 2) * jnp.diag(a)[None, :]).sum(
+        axis=-1, keepdims=True
+    )
+    np.testing.assert_allclose(np.asarray(div), np.asarray(expected),
+                               rtol=1e-5, atol=1e-6)
+    assert jnp.allclose(val, fn(0.0, x))
+    # reverse-differentiable (used with gradients when div_estimator=None)
+    g = jax.grad(lambda xx: divx_exact(fn, 0.0, xx)[0].sum())(x)
+    assert bool(jnp.isfinite(g).all())
+
+
 def test_masked_reductions_match_numpy():
     x = jnp.asarray([1.0, 2.0, 3.0, 100.0]).reshape(-1, 1)
     mask = jnp.asarray([True, True, True, False]).reshape(-1, 1)
