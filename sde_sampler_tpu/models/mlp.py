@@ -100,7 +100,7 @@ class TorchLinear(nn.Module):
         return y
 
 
-def _as_t_batch(t, batch: int | None = None) -> jnp.ndarray:
+def _as_t_batch(t) -> jnp.ndarray:
     """Normalize t to a (n, 1) column; scalars stay (1, 1) for broadcasting."""
     t = jnp.asarray(t, dtype=jnp.float32)
     t = t.reshape(-1, 1)
@@ -252,7 +252,12 @@ class LevelNet(nn.Module):
         t = jnp.broadcast_to(t, (x.shape[0], 1))
         h = jnp.concatenate([t, x], axis=1)
         out_tensors = []
-        h = TorchLinear(self.dim_embed, name="dense_0")(h)
+        # embed + inner layers drop their bias under normalization
+        # (reference mlp.py:227-233: bias = normalization_factory is None);
+        # the final projection always keeps it
+        h = TorchLinear(
+            self.dim_embed, use_bias=not self.use_layernorm, name="dense_0"
+        )(h)
         n_inner = 2**self.level
         for i in range(n_inner):
             if self.use_layernorm:
@@ -266,6 +271,8 @@ class LevelNet(nn.Module):
                     kernel_init=make_init(self.last_weight_init),
                     bias_init=make_init(self.last_bias_init),
                 )
+            else:
+                init_kwargs = dict(use_bias=not self.use_layernorm)
             h = TorchLinear(width, name=f"dense_{i + 1}", **init_kwargs)(h)
             if res_tensors is not None:
                 h = h + res_tensors[i]

@@ -621,9 +621,18 @@ class Trainable(Solver):
                 name: self.optim_cfg.transform(lr, schedule)
                 for name, lr in self.group_lrs.items()
             }
+            # param subtrees NOT listed in param_groups fall back to the
+            # default lr (torch parity: the reference's leftover group) —
+            # labeling them by their own name would crash multi_transform
+            transforms["_default"] = self.optim_cfg.transform(
+                self.optim_cfg.lr, schedule
+            )
 
             def label_fn(params):
-                return {name: name for name in params}
+                return {
+                    name: name if name in self.group_lrs else "_default"
+                    for name in params
+                }
 
             parts.append(optax.multi_transform(transforms, label_fn))
         else:
@@ -763,6 +772,12 @@ class Trainable(Solver):
         clips = self.current_clips()
         self.train_state, metrics = self._train_step(self.train_state, clips)
         self._host_step += 1
+        # Deviation from the reference (its solver/base.py:433-436 steps the
+        # scheduler only on non-skipped steps): whether a step was
+        # guard-skipped is only known on device, and pulling it every step
+        # would serialize on the tunnel. Milestones may therefore fire up to
+        # n_skipped steps early — immaterial (skips are rare) and the lr
+        # count itself is reverted in-jit on skipped steps.
         self.scheduler.step()
         metrics["train/time_per_step"] = time.time() - start_t
         return metrics

@@ -195,23 +195,36 @@ class TrainableDiff(Trainable):
         x_target = self.target.sample(
             self.next_key(), (self.traj_batch_size,)
         )
-        inference_sde = self.inference_sde
-        if self.inference_ctrl is not None:
-            # re-bind the controlled inference SDE with the current params
-            inference_sde = ControlledSDE(
-                sde=self.inference_base_sde,
-                ctrl=self.ctrl_fn(
-                    self.inference_ctrl,
-                    params["inference_ctrl"],
-                    clips.get("inference_ctrl"),
-                ),
-            )
+        # Jit ONCE with params/clips as arguments: a fresh per-eval
+        # jit(lambda) closing over device-resident params would recompile
+        # (and pull the constants host-side) on every evaluation — the
+        # ~20 s-per-compile pattern CLAUDE.md warns about.
+        if not hasattr(self, "_inference_rollout_jit"):
+
+            def rollout(ic_params, ic_clips, key, x):
+                sde = self.inference_sde
+                if self.inference_ctrl is not None:
+                    sde = ControlledSDE(
+                        sde=self.inference_base_sde,
+                        ctrl=self.ctrl_fn(
+                            self.inference_ctrl, ic_params, ic_clips
+                        ),
+                    )
+                return self.eval_integrator.integrate(
+                    sde=sde, ts=self.eval_ts, x_init=x, key=key,
+                    timesteps=self.eval_ts,
+                )
+
+            self._inference_rollout_jit = jax.jit(rollout)
+
         ts = self.eval_ts
-        xs = jax.jit(
-            lambda key, x: self.eval_integrator.integrate(
-                sde=inference_sde, ts=ts, x_init=x, key=key, timesteps=ts
-            )
-        )(self.next_key(), x_target)
+        ic_params = (
+            params["inference_ctrl"] if self.inference_ctrl is not None
+            else None
+        )
+        xs = self._inference_rollout_jit(
+            ic_params, clips.get("inference_ctrl"), self.next_key(), x_target
+        )
         plots = get_plots(
             distr=self.prior,
             samples=xs[-1],
@@ -257,12 +270,6 @@ class Bridge(TrainableDiff):
             inference_ctrl=None,
             filter_samples=getattr(self.target, "filter", None),
         )
-
-    def bound_loss(self, params, clips):
-        loss = super().bound_loss(params, clips)
-        if self.inference_ctrl is None:
-            loss.inference_ctrl = None
-        return loss
 
     def _call_loss(self, loss, key, ts, x):
         return loss(
@@ -503,6 +510,16 @@ class SubtrajBridge(Bridge):
         )
         loss = loss * (idx_end - idx_init + 1).astype(loss.dtype) / n
         return loss, metrics
+
+    def step_chunk(self, n: int):
+        """Subtrajectory sampling needs fresh host-side randomness (coin
+        flip + endpoint indices) every step; the fused multi-step dispatch
+        would compile only the inherited full-trajectory loss and silently
+        skip subtrajectory training. Run the n steps individually."""
+        metrics = None
+        for _ in range(n):
+            metrics = self.step()
+        return metrics
 
     def step(self):
         if self._rng.random() > self.subtraj_prob:

@@ -11,11 +11,46 @@ from collections import namedtuple
 
 import jax.numpy as jnp
 
-Results = namedtuple(
+_ResultsBase = namedtuple(
     "Results",
     "samples weights log_norm_const_preds expectation_preds ts xs metrics plots",
-    defaults=[{}, {}, None, None, None, None, {}, {}],
 )
+
+_UNSET = object()
+
+
+class Results(_ResultsBase):
+    """Eval results container (reference utils/common.py:9-13).
+
+    Dict-valued fields get a FRESH dict per instance: namedtuple
+    ``defaults`` are evaluated once, so a shared ``{}`` default would leak
+    in-place mutations (``results.plots.update(...)``) into every later
+    Results built without that kwarg."""
+
+    __slots__ = ()
+
+    def __new__(
+        cls,
+        samples=_UNSET,
+        weights=_UNSET,
+        log_norm_const_preds=None,
+        expectation_preds=None,
+        ts=None,
+        xs=None,
+        metrics=_UNSET,
+        plots=_UNSET,
+    ):
+        return super().__new__(
+            cls,
+            {} if samples is _UNSET else samples,
+            {} if weights is _UNSET else weights,
+            log_norm_const_preds,
+            expectation_preds,
+            ts,
+            xs,
+            {} if metrics is _UNSET else metrics,
+            {} if plots is _UNSET else plots,
+        )
 
 CKPT_DIR = "ckpt"
 

@@ -190,6 +190,75 @@ def test_subtraj_bucketed_training_steps(tmp_path):
     )
 
 
+def test_subtraj_step_chunk_keeps_subtraj_path(tmp_path):
+    """step_chunk(n) on a subtraj solver must run the per-step host
+    randomness (regression: the inherited fused dispatch silently trained
+    full trajectories only)."""
+    overrides = ["solver=basic_dis_subtraj", "target=dw_shift"] + TINY
+    solver = build_solver(overrides, tmp_path)
+    solver.subtraj_prob = 1.0
+    metrics = solver.step_chunk(4)
+    assert solver.n_steps == 4
+    assert np.isfinite(float(metrics["train/loss"]))
+    assert solver._subtraj_jits, "subtrajectory path never engaged"
+
+
+def test_results_fresh_mutable_defaults():
+    """Results dict fields are per-instance (regression: shared namedtuple
+    {} defaults leaked plots/metrics mutations across instances)."""
+    from sde_sampler_tpu.utils.common import Results
+
+    a = Results()
+    a.plots["stale"] = object()
+    a.metrics["x"] = 1.0
+    b = Results()
+    assert b.plots == {} and b.metrics == {}
+    # explicit values pass through untouched
+    c = Results(metrics={"y": 2.0})
+    assert c.metrics == {"y": 2.0}
+    # _replace keeps existing values verbatim
+    d = c._replace(ts=None)
+    assert d.metrics is c.metrics
+
+
+def test_partial_param_groups_fall_back_to_default_lr(tmp_path):
+    """param_groups listing only SOME top-level param subtrees must not
+    crash optimizer init; unlisted subtrees get the default lr."""
+    overrides = (
+        ["solver=basic_bridge", "target=dw_shift"]
+        + TINY
+        + ["+param_groups={generative_ctrl: {lr: 0.01}}"]
+    )
+    solver = build_solver(overrides, tmp_path)
+    assert "inference_ctrl" in solver.train_state.params
+    metrics = solver.step()
+    assert np.isfinite(float(metrics["train/loss"]))
+
+
+def test_levelnet_drops_bias_under_layernorm():
+    """Reference parity: LevelNet embed/inner Linears have no bias when
+    normalization is on (reference models/mlp.py:227-233); the final
+    projection keeps its bias."""
+    import jax.numpy as jnp
+
+    from sde_sampler_tpu.models.mlp import MultilevelNet
+
+    net = MultilevelNet(dim=3, levels=2, use_layernorm=True)
+    params = net.init(
+        jax.random.PRNGKey(0), jnp.zeros(()), jnp.zeros((4, 3))
+    )["params"]
+    level = params["level_1"]
+    assert "bias" not in level["dense_0"]
+    assert "bias" not in level["dense_1"]  # inner
+    assert "bias" in level["dense_2"]  # final projection
+    # without layernorm all biases exist (torch-checkpoint import layout)
+    net2 = MultilevelNet(dim=3, levels=2, use_layernorm=False)
+    params2 = net2.init(
+        jax.random.PRNGKey(0), jnp.zeros(()), jnp.zeros((4, 3))
+    )["params"]
+    assert "bias" in params2["level_1"]["dense_0"]
+
+
 def test_model_watcher_metrics(tmp_path):
     """model_watcher attaches per-submodule grad norms to step metrics
     (the reference's wandb.watch analogue, conf/utils/model_watcher.yaml)."""
