@@ -120,9 +120,11 @@ class Img(Distribution):
         # Quadratic penalty outside the image
         pen_x = jnp.maximum(jnp.maximum(-ix, 0), jnp.maximum(ix - self.maxindex_x, 0))
         pen_y = jnp.maximum(jnp.maximum(-iy, 0), jnp.maximum(iy - self.maxindex_y, 0))
-        penalty = self.outside_penalty * (pen_x**2 + pen_y**2).astype(
-            jnp.float32
-        )[:, None]
+        # square in float: int32 pen**2 wraps negative for |pen| >= 46341
+        # (the reference squares in torch int64)
+        pen_x = pen_x.astype(jnp.float32)
+        pen_y = pen_y.astype(jnp.float32)
+        penalty = (self.outside_penalty * (pen_x**2 + pen_y**2))[:, None]
 
         return -image_energy - penalty
 

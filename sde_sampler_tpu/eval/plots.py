@@ -101,7 +101,8 @@ def plot_marginal(
     **_,
 ) -> plt.Figure:
     data = _np(x)[:, dim]
-    data = data[np.isfinite(data)]
+    finite = np.isfinite(data)
+    data = data[finite]
     if domain is None:
         rng = (float(data.min()), float(data.max()))
     else:
@@ -113,7 +114,9 @@ def plot_marginal(
     width = bins[1] - bins[0]
     ax.bar(centers, heights, width=width, alpha=0.85, label="histogram")
     if weights is not None:
-        w = _np(weights).squeeze(-1)[: data.shape[0]]
+        # pair weights with the SAME finite mask (truncation would misalign
+        # every weight after the first dropped sample)
+        w = _np(weights).squeeze(-1)[finite]
         heights_w, _ = np.histogram(
             data, bins=nbins, range=rng, weights=w, density=True
         )

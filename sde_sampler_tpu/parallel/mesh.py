@@ -25,12 +25,6 @@ def get_mesh(n_devices: int | None = None) -> Mesh | None:
     return Mesh(np.array(devices), (BATCH_AXIS,))
 
 
-def batch_sharding(mesh: Mesh | None):
-    if mesh is None:
-        return None
-    return NamedSharding(mesh, P(BATCH_AXIS))
-
-
 def replicated_sharding(mesh: Mesh | None):
     if mesh is None:
         return None

@@ -192,9 +192,12 @@ class TrainableDiff(Trainable):
         return results
 
     def _inference_plots(self, params, clips) -> dict:
-        x_target = self.target.sample(
-            self.next_key(), (self.traj_batch_size,)
-        )
+        # target sampling is host-bound setup math (device policy: eager
+        # ops on the tunneled accelerator cost ~0.5-1.5 s each)
+        with device_lib.host_device():
+            x_target = self.target.sample(
+                self.next_key(), (self.traj_batch_size,)
+            )
         # Jit ONCE with params/clips as arguments: a fresh per-eval
         # jit(lambda) closing over device-resident params would recompile
         # (and pull the constants host-side) on every evaluation — the
@@ -225,15 +228,17 @@ class TrainableDiff(Trainable):
         xs = self._inference_rollout_jit(
             ic_params, clips.get("inference_ctrl"), self.next_key(), x_target
         )
-        plots = get_plots(
-            distr=self.prior,
-            samples=xs[-1],
-            ts=ts,
-            xs=xs,
-            marginal_dims=self.eval_marginal_dims,
-            domain=self.target.domain,
-            sample_key=self.next_key(),
-        )
+        # plotting (incl. its internal ground-truth sampling) is host-bound
+        with device_lib.host_device():
+            plots = get_plots(
+                distr=self.prior,
+                samples=xs[-1],
+                ts=ts,
+                xs=xs,
+                marginal_dims=self.eval_marginal_dims,
+                domain=self.target.domain,
+                sample_key=self.next_key(),
+            )
         return {f"{k}_inference": v for k, v in plots.items()}
 
 

@@ -25,8 +25,12 @@ def to_host(tree):
 def save_checkpoint(path: Path | str, state: dict) -> Path:
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
-    with open(path, "wb") as f:
+    # atomic write: a preemption mid-dump must not leave a truncated file
+    # that latest_checkpoint (newest mtime) would pick on resume
+    tmp = path.with_suffix(path.suffix + ".tmp")
+    with open(tmp, "wb") as f:
         pickle.dump(to_host(state), f)
+    os.replace(tmp, path)
     return path
 
 

@@ -127,6 +127,40 @@ def test_img_target():
     assert float(img.unnorm_log_prob(outside).max()) < float(lp.mean())
 
 
+def test_img_outside_penalty_no_overflow():
+    """Far-outside points must have hugely NEGATIVE log-prob (regression:
+    int32 pen**2 wrapped negative past |pen| >= 46341, flipping the penalty
+    into a reward)."""
+    from sde_sampler_tpu.distr.img import Img
+
+    img = Img(n_reference_samples=1000)
+    near = img.unnorm_log_prob(jnp.zeros((1, 2)))
+    far = img.unnorm_log_prob(jnp.full((1, 2), 1000.0))
+    assert float(far[0, 0]) < float(near[0, 0]) - 1e3
+    farther = img.unnorm_log_prob(jnp.full((1, 2), 5000.0))
+    assert float(farther[0, 0]) < float(far[0, 0])
+
+
+def test_plot_marginal_weights_align_with_finite_mask():
+    """IS weights must pair with the finite-filtered samples by mask, not
+    truncation (regression: any dropped non-finite row shifted every later
+    weight onto the wrong sample)."""
+    from sde_sampler_tpu.eval.plots import plot_marginal
+
+    x = jnp.asarray([[jnp.nan], [0.0], [5.0]])
+    w = jnp.asarray([[0.0], [0.0], [1.0]])  # all mass on the 5.0 sample
+    fig = plot_marginal(x, weights=w, dim=0, nbins=10, domain=[[-1.0, 6.0]])
+    bars = fig.axes[0].patches
+    assert len(bars) >= 20
+    hw = [p.get_height() for p in bars[10:20]]
+    centers = [p.get_x() + p.get_width() / 2 for p in bars[10:20]]
+    # the weighted histogram's mass sits in the bin containing 5.0
+    assert centers[int(np.argmax(hw))] > 4.0
+    import matplotlib.pyplot as plt
+
+    plt.close(fig)
+
+
 def test_nice_flow_invertibility_and_logprob():
     from sde_sampler_tpu.distr import nice as nice_lib
 
