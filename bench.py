@@ -96,11 +96,12 @@ def _model_flops_per_step(solver, batch, em_steps):
 
 
 def _sync(metrics):
-    """Force a REAL device->host sync. On the tunneled (relay-attached) TPU
-    `jax.block_until_ready` returns before the queued programs finish (it
-    wedged round-1/2 numbers ~2-13x high); materializing the scalar is the
-    only reliable barrier."""
-    return float(metrics["train/loss"])
+    """Force a REAL device->host sync (see utils/device.sync: on the
+    relay-attached TPU `jax.block_until_ready` returns before queued
+    programs finish — it inflated round-1/2 numbers ~2-13x)."""
+    from sde_sampler_tpu.utils import device as device_lib
+
+    return device_lib.sync(metrics["train/loss"])
 
 
 def _measure(solver, n_iters=50, warmup=3, steps_per_call=1):

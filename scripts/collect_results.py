@@ -43,16 +43,19 @@ def fmt(v):
 EXCLUDE_PREFIXES = ("smoke", "quick_", "cox")
 
 
-def table(root: str) -> str:
-    rows = []
-    for metrics_file in sorted(Path(root).glob("*/metrics.jsonl")):
-        name = metrics_file.parent.name
-        if name.startswith(EXCLUDE_PREFIXES):
-            continue
-        m = last_eval_line(metrics_file)
-        if m is None:
-            continue
-        rows.append((name, m))
+def table(*roots: str) -> str:
+    rows = {}
+    # Later roots win on name collision (r3 re-runs supersede r2 cells).
+    for root in roots:
+        for metrics_file in sorted(Path(root).glob("*/metrics.jsonl")):
+            name = metrics_file.parent.name
+            if name.startswith(EXCLUDE_PREFIXES):
+                continue
+            m = last_eval_line(metrics_file)
+            if m is None:
+                continue
+            rows[name] = m
+    rows = sorted(rows.items())
     lines = ["| Run | " + " | ".join(label for _, label in KEYS) + " |"]
     lines.append("|" + "---|" * (len(KEYS) + 1))
     for name, m in rows:
@@ -64,24 +67,29 @@ def table(root: str) -> str:
 START, END = "<!-- GRID_TABLE_START -->", "<!-- GRID_TABLE_END -->"
 
 
-def update_results(root: str, results_md: Path):
+def update_results(roots: list[str], results_md: Path):
     """Rewrite the marked grid-table block in RESULTS.md."""
     text = results_md.read_text()
     head, rest = text.split(START, 1)
     _, tail = rest.split(END, 1)
-    results_md.write_text(head + START + "\n" + table(root) + "\n" + END + tail)
+    results_md.write_text(
+        head + START + "\n" + table(*roots) + "\n" + END + tail
+    )
 
 
 if __name__ == "__main__":
     import argparse
 
     parser = argparse.ArgumentParser()
-    parser.add_argument("root", nargs="?", default="logs/r2")
+    parser.add_argument(
+        "roots", nargs="*", default=["logs/r2", "logs/r3"],
+    )
     parser.add_argument(
         "--update-results", action="store_true",
         help="rewrite the marked grid-table block in RESULTS.md",
     )
     args = parser.parse_args()
+    roots = args.roots or ["logs/r2", "logs/r3"]
     if args.update_results:
-        update_results(args.root, Path(__file__).parents[1] / "RESULTS.md")
-    print(table(args.root))
+        update_results(roots, Path(__file__).parents[1] / "RESULTS.md")
+    print(table(*roots))

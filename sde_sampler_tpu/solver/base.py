@@ -880,12 +880,24 @@ class Trainable(Solver):
                 if self.n_steps == profile_start:
                     jax.profiler.start_trace(str(self.out_dir / "profile"))
                 elif self.n_steps >= profile_start + profile_steps:
-                    jax.block_until_ready(self.train_state.params)
+                    device_lib.sync(self.train_state.params)
                     jax.profiler.stop_trace()
                     profile_start = None
             t_start = time.time()
-            metrics = self.step_chunk(self._next_chunk_size())
-            self.time += time.time() - t_start
+            chunk_n = self._next_chunk_size()
+            metrics = self.step_chunk(chunk_n)
+            # Close the timing window with a REAL device barrier
+            # (utils/device.sync): on the relay-attached TPU the
+            # dispatch-side timers inside step()/step_chunk() measure host
+            # dispatch only, so the honest per-step time is computed here,
+            # once per chunk (>= log_interval steps — the scalar pull is
+            # amortized), and overwrites the dispatch-side value.
+            device_lib.sync(
+                metrics.get("train/loss", self.train_state.params)
+            )
+            elapsed = time.time() - t_start
+            metrics["train/time_per_step"] = elapsed / max(chunk_n, 1)
+            self.time += elapsed
             metrics.update(
                 {"train/time": self.time, "train/step": self.n_steps}
             )

@@ -14,6 +14,7 @@ from sde_sampler_tpu.distr.base import EXPECTATION_FNS
 from sde_sampler_tpu.eq.integrator import Integrator
 from sde_sampler_tpu.eq.sdes import LangevinSDE
 from sde_sampler_tpu.solver.base import Solver
+from sde_sampler_tpu.utils import device as device_lib
 from sde_sampler_tpu.utils.common import Results
 from sde_sampler_tpu.utils.config import instantiate
 
@@ -51,7 +52,7 @@ class LangevinSolver(Solver):
                 key=key,
             )
         )(self.next_key(), x)
-        jax.block_until_ready(xs)
+        device_lib.sync(xs)  # relay-safe barrier (utils/device.sync)
 
         metrics = {"eval/sample_time": time.time() - start_time}
 

@@ -152,7 +152,9 @@ class TrainableDiff(Trainable):
             params, self.next_key(), clips,
             batch_size=self.eval_batch_size, return_traj=False,
         )
-        jax.block_until_ready(out["samples"])
+        # Relay-safe barrier: block_until_ready is NOT a device barrier on
+        # the tunneled TPU (see utils/device.sync).
+        device_lib.sync(out["samples"])
         sample_time = time.time() - start_time
 
         xs = ts = None

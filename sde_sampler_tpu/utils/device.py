@@ -49,3 +49,22 @@ def to_accelerator(tree):
     import jax
 
     return jax.device_put(tree, accelerator())
+
+
+def sync(tree) -> float:
+    """Barrier that REALLY waits for queued device programs to finish.
+
+    On the relay-attached TPU of this environment `jax.block_until_ready`
+    returns before queued programs execute (it is a host-queue barrier, not
+    a device barrier — round-2 finding that inflated throughput numbers up
+    to ~13x). Materializing a scalar on the host is the only reliable
+    device barrier, so every timing window must close with this helper.
+
+    Accepts any pytree of arrays; returns the first element of the first
+    leaf as a Python float so callers can also use the value.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    leaf = jax.tree_util.tree_leaves(tree)[0]
+    return float(jnp.ravel(leaf)[0])

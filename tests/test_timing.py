@@ -1,0 +1,71 @@
+"""Relay-safe timing: every timing window must close with a real device
+barrier (utils/device.sync), not `jax.block_until_ready` — on the
+relay-attached TPU of this environment the latter returns before queued
+programs execute (round-2 finding; it inflated throughput numbers ~13x).
+"""
+from pathlib import Path
+
+import jax.numpy as jnp
+
+from sde_sampler_tpu.utils import device as device_lib
+from sde_sampler_tpu.utils.config import compose, locate
+
+CONF = Path(__file__).parents[1] / "conf"
+
+TINY = [
+    "solver=basic_dis",
+    "target=dw_shift",
+    "train_steps=2",
+    "train_batch_size=16",
+    "train_timesteps.steps=8",
+    "eval_batch_size=32",
+    "eval_interval=1000",
+    "eval_init=False",
+    "plot_results=False",
+    "store_last_ckpt=False",
+    "~eval_sample_losses",
+]
+
+
+def _build(tmp_path):
+    cfg = compose(CONF, "base", TINY + [f"out_dir={tmp_path}"])
+    return locate(cfg["solver"]["_target_"])(cfg)
+
+
+def test_sync_materializes_scalar():
+    x = jnp.arange(6.0).reshape(2, 3) + 1.0
+    val = device_lib.sync({"a": x})
+    assert isinstance(val, float)
+    assert val == 1.0
+
+
+class _SyncSpy:
+    def __init__(self):
+        self.calls = 0
+        self._orig = device_lib.sync
+
+    def __call__(self, tree):
+        self.calls += 1
+        return self._orig(tree)
+
+
+def test_train_loop_times_through_sync(tmp_path, monkeypatch):
+    """The run-loop chunk timer must close its window with device.sync."""
+    solver = _build(tmp_path)
+    solver.setup()
+    spy = _SyncSpy()
+    monkeypatch.setattr(device_lib, "sync", spy)
+    solver.run()
+    # one barrier per step_chunk dispatch plus any eval-path barriers
+    assert spy.calls >= 1
+
+
+def test_eval_sample_time_through_sync(tmp_path, monkeypatch):
+    """compute_results' eval/sample_time window must close with device.sync."""
+    solver = _build(tmp_path)
+    solver.setup()
+    spy = _SyncSpy()
+    monkeypatch.setattr(device_lib, "sync", spy)
+    results = solver.compute_results()
+    assert spy.calls >= 1
+    assert results is not None
