@@ -142,6 +142,11 @@ def main():
     # sync (one tunnel round trip, ~0.5-1.5 s on a relay-attached TPU)
     parser.add_argument("--iters", type=int, default=2000)
     parser.add_argument("--batch", type=int, default=2048)
+    parser.add_argument("--em-steps", type=int, default=200)
+    parser.add_argument(
+        "--no-scaling", action="store_true",
+        help="skip the virtual-8-device data-parallel scaling record",
+    )
     parser.add_argument(
         "--steps-per-call", type=int, default=10,
         help="optimizer steps fused per dispatch (fori_loop step chunking; "
@@ -165,12 +170,14 @@ def main():
         )
         cmd = [sys.executable, str(Path(__file__).resolve()),
                "--n-devices", str(args.n_devices), "--skip-bf16",
+               "--no-scaling",
                "--iters", str(args.iters), "--batch", str(args.batch),
+               "--em-steps", str(args.em_steps),
                "--steps-per-call", str(args.steps_per_call)]
         raise SystemExit(subprocess.run(cmd, env=env).returncode)
 
     batch = args.batch
-    em_steps = 200
+    em_steps = args.em_steps
     n_devices = args.n_devices
     extra = [f"n_devices={n_devices}"] if n_devices > 1 else []
 
@@ -201,6 +208,33 @@ def main():
         "mfu_note": "analytic ctrl-net matmul FLOPs vs bf16 MXU peak; "
         "64-wide nets underfill the 128x128 MXU (dispatch/VPU-bound)",
     }
+
+    if not args.no_scaling and n_devices == 1:
+        # Functional data-parallel scaling record on a virtual 8-device CPU
+        # mesh (tiny shapes — validates the full sharded train-step path;
+        # absolute numbers are CPU-host-bound, not TPU throughput).
+        import subprocess
+
+        env = os.environ.copy()
+        env.pop("PYTHONPATH", None)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+        cmd = [sys.executable, str(Path(__file__).resolve()),
+               "--n-devices", "8", "--skip-bf16", "--no-scaling",
+               "--iters", "4", "--batch", "512", "--em-steps", "20",
+               "--steps-per-call", "2"]
+        try:
+            proc = subprocess.run(
+                cmd, env=env, capture_output=True, text=True, timeout=1200
+            )
+            line = proc.stdout.strip().splitlines()[-1] if proc.stdout else ""
+            result["dp8_virtual"] = (
+                json.loads(line) if proc.returncode == 0 and line else
+                {"ok": False, "rc": proc.returncode}
+            )
+            result["dp8_virtual"]["ok"] = proc.returncode == 0
+        except Exception as exc:  # never fail the headline bench
+            result["dp8_virtual"] = {"ok": False, "error": str(exc)}
 
     if not args.skip_bf16:
         bf16_solver = _build_solver(

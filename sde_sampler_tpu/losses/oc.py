@@ -117,6 +117,7 @@ class BaseOCLoss:
         sde_ctrl_dropout: float | None = None,
         sde_ctrl_noise: float | None = None,
         remat: bool = True,
+        scan_unroll: int = 1,
         **kwargs,
     ):
         self.generative_ctrl = generative_ctrl
@@ -132,6 +133,10 @@ class BaseOCLoss:
         self.sde_ctrl_noise = sde_ctrl_noise
         self.sde_ctrl_dropout = sde_ctrl_dropout
         self.remat = remat
+        # lax.scan unroll factor for the rollout loop: unrolling lets XLA
+        # fuse across EM steps (fewer kernel launches / loop boundaries) at
+        # the cost of compile time. 1 = reference-faithful loop.
+        self.scan_unroll = scan_unroll
 
     # -- sde control for the log-variance loss ------------------------------
     def generative_and_sde_ctrl(self, t, x, key):
@@ -324,7 +329,8 @@ class TimeReversalLoss(BaseOCLoss):
 
         zeros = jnp.zeros((x.shape[0], 1), dtype=x.dtype)
         (x_T, rnd, ito, _), traj = jax.lax.scan(
-            body, (x, rnd0, zeros, key), (ts[:-1], ts[1:])
+            body, (x, rnd0, zeros, key), (ts[:-1], ts[1:]),
+            unroll=self.scan_unroll,
         )
         rnd = rnd - terminal_unnorm_log_prob(x_T)
         xs = None
@@ -423,7 +429,8 @@ class ReferenceSDELoss(BaseOCLoss):
 
         zeros = jnp.zeros((x.shape[0], 1), dtype=x.dtype)
         (x_T, rnd, ito, _), traj = jax.lax.scan(
-            body, (x, zeros, zeros, key), (ts[:-1], ts[1:])
+            body, (x, zeros, zeros, key), (ts[:-1], ts[1:]),
+            unroll=self.scan_unroll,
         )
         rnd = rnd + reference_log_prob(x_T) - terminal_unnorm_log_prob(x_T)
         xs = None
@@ -526,7 +533,8 @@ class ExponentialIntegratorSDELoss(BaseOCLoss):
 
         zeros = jnp.zeros((x.shape[0], 1), dtype=x.dtype)
         (x_T, rnd, ito, _), traj = jax.lax.scan(
-            body, (x, zeros, zeros, key), (ts[:-1], ts[1:])
+            body, (x, zeros, zeros, key), (ts[:-1], ts[1:]),
+            unroll=self.scan_unroll,
         )
         rnd = rnd + reference_log_prob(x_T) - terminal_unnorm_log_prob(x_T)
         xs = None
