@@ -62,3 +62,8 @@ run img_dis_lv target=img solver=dis train_steps=10000 \
 
 touch logs/r3/QUEUE_B_DONE
 echo "[r3b] ALL DONE $(date -u +%H:%M:%S)"
+
+# round-3 cleanup: gmm seed3 had two concurrent writers (dup queue instances);
+# redo it cleanly after the main queue-B list.
+run gmm_dis_lv_seed3 target=gmm solver=dis seed=3 $GRID_ARGS
+touch logs/r3/QUEUE_B2_DONE
