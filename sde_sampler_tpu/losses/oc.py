@@ -118,6 +118,8 @@ class BaseOCLoss:
         sde_ctrl_noise: float | None = None,
         remat: bool = True,
         scan_unroll: int = 1,
+        noise_pregen: bool = False,
+        two_phase: bool = False,
         **kwargs,
     ):
         self.generative_ctrl = generative_ctrl
@@ -137,6 +139,50 @@ class BaseOCLoss:
         # fuse across EM steps (fewer kernel launches / loop boundaries) at
         # the cost of compile time. 1 = reference-faithful loop.
         self.scan_unroll = scan_unroll
+        # Hoist ALL per-step PRNG work (threefry key splits + normal draws)
+        # out of the scan into one batched draw passed in through the scan
+        # xs. The rollout body is dominated by per-op overhead on tiny
+        # buffers, and the 4-way split + normal() are ~5 of its ops; one
+        # (T, B, d) draw amortizes them. Changes the RNG *stream* (not the
+        # distribution), so it is opt-in to keep recorded runs reproducible.
+        self.noise_pregen = noise_pregen
+        # Two-phase log-variance training (TPU-first redesign of the
+        # reference's per-step backward, losses/oc.py:156-230 there): for
+        # lv/lv_traj the SDE is driven by stop_gradient(u), so the
+        # trajectory itself carries NO parameter gradient. Phase 1 rolls
+        # out a lean, non-differentiable scan (carry = x only) that records
+        # the trajectory; phase 2 re-evaluates the control net on all
+        # (T, B) states in ONE batched call — a large MXU-friendly matmul —
+        # and computes the cost/Ito/terminal terms differentiably. The
+        # gradient equals the scan-path gradient exactly (same states, same
+        # noise, same formulas); only summation order differs (fp-level).
+        # Invalid for kl/kl_ito, where x is differentiated through the
+        # drift.
+        if two_phase and method in ("kl", "kl_ito"):
+            raise ValueError(
+                "two_phase requires a detached-control method (lv/lv_traj); "
+                f"got {method}."
+            )
+        self.two_phase = two_phase
+
+    def _pregen_scan_inputs(self, key, ts, x, scale_sqrt_dt: bool = True):
+        """(noise increments, per-step keys) drawn up-front for the scan.
+
+        `scale_sqrt_dt=True` gives Brownian increments dW ~ N(0, dt);
+        False gives standard normals (DDS exponential integrator scales
+        them itself). The per-step keys are only materialized when the body
+        actually consumes randomness beyond the EM noise (exploration
+        noise/dropout of the detached control, Hutchinson probes);
+        otherwise the scan carries no key at all.
+        """
+        k_noise, k_steps = jax.random.split(key)
+        n = ts.shape[0] - 1
+        dbs = jax.random.normal(k_noise, (n,) + x.shape, dtype=x.dtype)
+        if scale_sqrt_dt:
+            dts = (ts[1:] - ts[:-1])[:, None, None]
+            dbs = dbs * jnp.sqrt(dts)
+        step_keys = jax.random.split(k_steps, n)
+        return dbs, step_keys
 
     # -- sde control for the log-variance loss ------------------------------
     def generative_and_sde_ctrl(self, t, x, key):
@@ -268,18 +314,7 @@ class TimeReversalLoss(BaseOCLoss):
 
         use_div_estimator = self.div_estimator if train else None
 
-        def body(carry, inp):
-            x, rnd, ito, key = carry
-            s, t = inp
-            # distinct keys for EM noise, the exploration-noise/dropout of
-            # the detached SDE control, and the Hutchinson probes — the
-            # latter two previously shared one key (consumed by BOTH a
-            # split inside generative_and_sde_ctrl and a fold_in inside
-            # divx_hutchinson), which breaks the single-use contract and
-            # can correlate the divergence probes with the exploration
-            # noise
-            key, k_noise, k_ctrl, k_div = jax.random.split(key, 4)
-
+        def step_core(x, rnd, ito, s, t, db, k_ctrl, k_div):
             if change_sde_ctrl:
                 generative_ctrl, sde_ctrl = self.generative_and_sde_ctrl(
                     s, x, k_ctrl
@@ -315,33 +350,175 @@ class TimeReversalLoss(BaseOCLoss):
             if not train:
                 rnd = rnd - self.sde.drift_div_int(s, t, x)
 
-            db = jax.random.normal(k_noise, x.shape, dtype=x.dtype) * jnp.sqrt(dt)
             x_next = (
                 x + (self.sde.drift(s, x) + sde_diff * sde_ctrl) * dt
                 + sde_diff * db
             )
             ito = ito + (gen_plus * db).sum(axis=-1, keepdims=True)
-            out = x_next if return_traj else None
-            return (x_next, rnd, ito, key), out
+            return x_next, rnd, ito
 
-        if self.remat and train:
-            body = jax.checkpoint(body)
-
-        zeros = jnp.zeros((x.shape[0], 1), dtype=x.dtype)
-        (x_T, rnd, ito, _), traj = jax.lax.scan(
-            body, (x, rnd0, zeros, key), (ts[:-1], ts[1:]),
-            unroll=self.scan_unroll,
+        # Whether the body consumes randomness beyond the EM noise
+        # (exploration noise/dropout of the detached control, Hutchinson
+        # probes). Distinct keys for each use — sharing one key across a
+        # split AND a fold_in breaks the single-use contract and can
+        # correlate the divergence probes with the exploration noise.
+        needs_step_keys = (
+            change_sde_ctrl
+            and (
+                self.sde_ctrl_noise is not None
+                or self.sde_ctrl_dropout is not None
+            )
+        ) or (
+            self.inference_ctrl is not None and use_div_estimator is not None
         )
+
+        if self.noise_pregen:
+            dbs, step_keys = self._pregen_scan_inputs(key, ts, x)
+
+            def body(carry, inp):
+                x, rnd, ito = carry
+                s, t, db = inp[:3]
+                if needs_step_keys:
+                    k_ctrl, k_div = jax.random.split(inp[3])
+                else:
+                    k_ctrl = k_div = None
+                x_next, rnd, ito = step_core(
+                    x, rnd, ito, s, t, db, k_ctrl, k_div
+                )
+                out = x_next if return_traj else None
+                return (x_next, rnd, ito), out
+
+            xs = (ts[:-1], ts[1:], dbs)
+            if needs_step_keys:
+                xs = xs + (step_keys,)
+            if self.remat and train:
+                body = jax.checkpoint(body)
+            (x_T, rnd, ito), traj = jax.lax.scan(
+                body,
+                (x, rnd0, jnp.zeros((x.shape[0], 1), dtype=x.dtype)),
+                xs,
+                unroll=self.scan_unroll,
+            )
+        else:
+
+            def body(carry, inp):
+                x, rnd, ito, key = carry
+                s, t = inp
+                key, k_noise, k_ctrl, k_div = jax.random.split(key, 4)
+                db = jax.random.normal(
+                    k_noise, x.shape, dtype=x.dtype
+                ) * jnp.sqrt(t - s)
+                x_next, rnd, ito = step_core(
+                    x, rnd, ito, s, t, db, k_ctrl, k_div
+                )
+                out = x_next if return_traj else None
+                return (x_next, rnd, ito, key), out
+
+            if self.remat and train:
+                body = jax.checkpoint(body)
+            zeros = jnp.zeros((x.shape[0], 1), dtype=x.dtype)
+            (x_T, rnd, ito, _), traj = jax.lax.scan(
+                body, (x, rnd0, zeros, key), (ts[:-1], ts[1:]),
+                unroll=self.scan_unroll,
+            )
         rnd = rnd - terminal_unnorm_log_prob(x_T)
         xs = None
         if return_traj:
             xs = jnp.concatenate([x[None], traj], axis=0)
         return RolloutResult(x_T, rnd + ito, rnd, xs)
 
+    def _two_phase_loss(
+        self, key, ts, x, terminal_unnorm_log_prob, initial_log_prob
+    ):
+        """lv/lv_traj loss with the trajectory rollout outside autodiff.
+
+        Phase 1: value-only EM rollout recording every state (the sde is
+        driven by the DETACHED control, so xs carries no param gradient —
+        stop_gradient makes that structural and lets autodiff drop the
+        scan transpose entirely). Phase 2: one vmapped control evaluation
+        over all (T, B) states — batched matmuls on the MXU — produces the
+        running cost and Ito increments differentiably. Same states, same
+        noise, same formulas as the scan path; only the fp summation order
+        differs.
+        """
+        rnd0 = initial_log_prob(x)
+        dbs, step_keys = self._pregen_scan_inputs(key, ts, x)
+        needs_step_keys = (
+            self.sde_ctrl_noise is not None
+            or self.sde_ctrl_dropout is not None
+            or (
+                self.inference_ctrl is not None
+                and self.div_estimator is not None
+            )
+        )
+
+        def sim_body(x, inp):
+            s, t, db = inp[:3]
+            k_ctrl = (
+                jax.random.split(inp[3])[0] if needs_step_keys else None
+            )
+            _, sde_ctrl = self.generative_and_sde_ctrl(s, x, k_ctrl)
+            sde_diff = self.sde.diff(s, x)
+            x_next = (
+                x + (self.sde.drift(s, x) + sde_diff * sde_ctrl) * (t - s)
+                + sde_diff * db
+            )
+            return x_next, x
+
+        scan_xs = (ts[:-1], ts[1:], dbs)
+        if needs_step_keys:
+            scan_xs = scan_xs + (step_keys,)
+        x_T, xs = jax.lax.scan(sim_body, x, scan_xs, unroll=self.scan_unroll)
+        x_T = jax.lax.stop_gradient(x_T)
+        xs = jax.lax.stop_gradient(xs)
+
+        def per_step(s, t, x_k, db, k=None):
+            if needs_step_keys:
+                k_ctrl, k_div = jax.random.split(k)
+            else:
+                k_ctrl = k_div = None
+            generative_ctrl, sde_ctrl = self.generative_and_sde_ctrl(
+                s, x_k, k_ctrl
+            )
+            dt = t - s
+            extra = 0.0
+            if self.inference_ctrl is None:
+                gen_plus = gen_minus = generative_ctrl
+            else:
+                if self.div_estimator is None:
+                    div_ctrl, inference_ctrl = divx_exact(
+                        self.inference_ctrl, s, x_k
+                    )
+                else:
+                    div_ctrl, inference_ctrl = divx_hutchinson(
+                        self.inference_ctrl, s, x_k, k_div,
+                        noise_type=self.div_estimator,
+                    )
+                extra = self.sde.diff(s, x_k) * div_ctrl * dt
+                gen_plus = generative_ctrl + inference_ctrl
+                gen_minus = generative_ctrl - inference_ctrl
+            cost = (gen_plus * (sde_ctrl - 0.5 * gen_minus)).sum(
+                axis=-1, keepdims=True
+            ) * dt + extra
+            ito = (gen_plus * db).sum(axis=-1, keepdims=True)
+            return cost, ito
+
+        args = (ts[:-1], ts[1:], xs, dbs)
+        if needs_step_keys:
+            args = args + (step_keys,)
+        costs, itos = jax.vmap(per_step)(*args)
+        rnd_no_ito = rnd0 + costs.sum(0) - terminal_unnorm_log_prob(x_T)
+        rnd = rnd_no_ito + itos.sum(0)
+        return self.compute_loss(rnd, samples=x_T)
+
     def __call__(
         self, key, ts, x, terminal_unnorm_log_prob, initial_log_prob=None
     ):
         x = self._repeat_traj(x)
+        if self.two_phase:
+            return self._two_phase_loss(
+                key, ts, x, terminal_unnorm_log_prob, initial_log_prob
+            )
         change_sde_ctrl = self.method in ["lv", "lv_traj"]
         result = self.simulate(
             key, ts, x,
@@ -386,11 +563,7 @@ class ReferenceSDELoss(BaseOCLoss):
         change_sde_ctrl: bool = False,
         return_traj: bool = False,
     ) -> RolloutResult:
-        def body(carry, inp):
-            x, rnd, ito, key = carry
-            s, t = inp
-            key, k_noise, k_extra = jax.random.split(key, 3)
-
+        def step_core(x, rnd, ito, s, t, db, k_extra):
             if change_sde_ctrl:
                 generative_ctrl, sde_ctrl = self.generative_and_sde_ctrl(
                     s, x, k_extra
@@ -415,33 +588,132 @@ class ReferenceSDELoss(BaseOCLoss):
                     axis=-1, keepdims=True
                 ) * dt
 
-            db = jax.random.normal(k_noise, x.shape, dtype=x.dtype) * jnp.sqrt(dt)
             x_next = (
                 x + (self.sde.drift(s, x) + sde_diff * sde_ctrl) * dt
                 + sde_diff * db
             )
             ito = ito + (gen_minus_ref * db).sum(axis=-1, keepdims=True)
-            out = x_next if return_traj else None
-            return (x_next, rnd, ito, key), out
+            return x_next, rnd, ito
 
-        if self.remat and train:
-            body = jax.checkpoint(body)
-
-        zeros = jnp.zeros((x.shape[0], 1), dtype=x.dtype)
-        (x_T, rnd, ito, _), traj = jax.lax.scan(
-            body, (x, zeros, zeros, key), (ts[:-1], ts[1:]),
-            unroll=self.scan_unroll,
+        needs_step_keys = change_sde_ctrl and (
+            self.sde_ctrl_noise is not None
+            or self.sde_ctrl_dropout is not None
         )
+        zeros = jnp.zeros((x.shape[0], 1), dtype=x.dtype)
+
+        if self.noise_pregen:
+            dbs, step_keys = self._pregen_scan_inputs(key, ts, x)
+
+            def body(carry, inp):
+                x, rnd, ito = carry
+                s, t, db = inp[:3]
+                k_extra = inp[3] if needs_step_keys else None
+                x_next, rnd, ito = step_core(x, rnd, ito, s, t, db, k_extra)
+                out = x_next if return_traj else None
+                return (x_next, rnd, ito), out
+
+            scan_xs = (ts[:-1], ts[1:], dbs)
+            if needs_step_keys:
+                scan_xs = scan_xs + (step_keys,)
+            if self.remat and train:
+                body = jax.checkpoint(body)
+            (x_T, rnd, ito), traj = jax.lax.scan(
+                body, (x, zeros, zeros), scan_xs, unroll=self.scan_unroll
+            )
+        else:
+
+            def body(carry, inp):
+                x, rnd, ito, key = carry
+                s, t = inp
+                key, k_noise, k_extra = jax.random.split(key, 3)
+                db = jax.random.normal(
+                    k_noise, x.shape, dtype=x.dtype
+                ) * jnp.sqrt(t - s)
+                x_next, rnd, ito = step_core(x, rnd, ito, s, t, db, k_extra)
+                out = x_next if return_traj else None
+                return (x_next, rnd, ito, key), out
+
+            if self.remat and train:
+                body = jax.checkpoint(body)
+            (x_T, rnd, ito, _), traj = jax.lax.scan(
+                body, (x, zeros, zeros, key), (ts[:-1], ts[1:]),
+                unroll=self.scan_unroll,
+            )
         rnd = rnd + reference_log_prob(x_T) - terminal_unnorm_log_prob(x_T)
         xs = None
         if return_traj:
             xs = jnp.concatenate([x[None], traj], axis=0)
         return RolloutResult(x_T, rnd + ito, rnd, xs)
 
+    def _two_phase_loss(
+        self, key, ts, x, terminal_unnorm_log_prob, reference_log_prob
+    ):
+        """See TimeReversalLoss._two_phase_loss — same two-phase structure
+        with the reference-SDE cost/Ito formulas."""
+        dbs, step_keys = self._pregen_scan_inputs(key, ts, x)
+        needs_step_keys = (
+            self.sde_ctrl_noise is not None
+            or self.sde_ctrl_dropout is not None
+        )
+
+        def sim_body(x, inp):
+            s, t, db = inp[:3]
+            k_ctrl = (
+                jax.random.split(inp[3])[0] if needs_step_keys else None
+            )
+            _, sde_ctrl = self.generative_and_sde_ctrl(s, x, k_ctrl)
+            sde_diff = self.sde.diff(s, x)
+            x_next = (
+                x + (self.sde.drift(s, x) + sde_diff * sde_ctrl) * (t - s)
+                + sde_diff * db
+            )
+            return x_next, x
+
+        scan_xs = (ts[:-1], ts[1:], dbs)
+        if needs_step_keys:
+            scan_xs = scan_xs + (step_keys,)
+        x_T, xs = jax.lax.scan(sim_body, x, scan_xs, unroll=self.scan_unroll)
+        x_T = jax.lax.stop_gradient(x_T)
+        xs = jax.lax.stop_gradient(xs)
+
+        def per_step(s, t, x_k, db, k=None):
+            k_ctrl = jax.random.split(k)[0] if needs_step_keys else None
+            generative_ctrl, sde_ctrl = self.generative_and_sde_ctrl(
+                s, x_k, k_ctrl
+            )
+            dt = t - s
+            if self.reference_ctrl is None:
+                gen_minus_ref = gen_plus_ref = generative_ctrl
+            else:
+                reference_ctrl = self.reference_ctrl(s, x_k)
+                gen_minus_ref = generative_ctrl - reference_ctrl
+                gen_plus_ref = generative_ctrl + reference_ctrl
+            cost = (gen_minus_ref * (sde_ctrl - 0.5 * gen_plus_ref)).sum(
+                axis=-1, keepdims=True
+            ) * dt
+            ito = (gen_minus_ref * db).sum(axis=-1, keepdims=True)
+            return cost, ito
+
+        args = (ts[:-1], ts[1:], xs, dbs)
+        if needs_step_keys:
+            args = args + (step_keys,)
+        costs, itos = jax.vmap(per_step)(*args)
+        rnd_no_ito = (
+            costs.sum(0)
+            + reference_log_prob(x_T)
+            - terminal_unnorm_log_prob(x_T)
+        )
+        rnd = rnd_no_ito + itos.sum(0)
+        return self.compute_loss(rnd, samples=x_T)
+
     def __call__(
         self, key, ts, x, terminal_unnorm_log_prob, reference_log_prob
     ):
         x = self._repeat_traj(x)
+        if self.two_phase:
+            return self._two_phase_loss(
+                key, ts, x, terminal_unnorm_log_prob, reference_log_prob
+            )
         change_sde_ctrl = self.method in ["lv", "lv_traj"]
         result = self.simulate(
             key, ts, x,
@@ -494,11 +766,7 @@ class ExponentialIntegratorSDELoss(BaseOCLoss):
     ) -> RolloutResult:
         sigma = self.sigma
 
-        def body(carry, inp):
-            x, rnd, ito, key = carry
-            s, t = inp
-            key, k_noise, k_extra = jax.random.split(key, 3)
-
+        def step_core(x, rnd, ito, s, t, noise, k_extra):
             if change_sde_ctrl:
                 generative_ctrl, sde_ctrl = self.generative_and_sde_ctrl(
                     s, x, k_extra
@@ -516,7 +784,6 @@ class ExponentialIntegratorSDELoss(BaseOCLoss):
             beta_k = jnp.clip(self.alpha * jnp.sqrt(dt), 0.0, 1.0)
             alpha_k = jnp.sqrt(1.0 - beta_k**2)
             rnd = rnd + beta_k**2 * sigma**2 * running_cost
-            noise = jax.random.normal(k_noise, x.shape, dtype=x.dtype)
             x_next = (
                 x * alpha_k
                 + (beta_k**2) * (sigma**2) * sde_ctrl
@@ -525,22 +792,126 @@ class ExponentialIntegratorSDELoss(BaseOCLoss):
             ito = ito + (sigma * generative_ctrl * noise * beta_k).sum(
                 axis=-1, keepdims=True
             )
-            out = x_next if return_traj else None
-            return (x_next, rnd, ito, key), out
+            return x_next, rnd, ito
 
-        if self.remat and train:
-            body = jax.checkpoint(body)
-
-        zeros = jnp.zeros((x.shape[0], 1), dtype=x.dtype)
-        (x_T, rnd, ito, _), traj = jax.lax.scan(
-            body, (x, zeros, zeros, key), (ts[:-1], ts[1:]),
-            unroll=self.scan_unroll,
+        needs_step_keys = change_sde_ctrl and (
+            self.sde_ctrl_noise is not None
+            or self.sde_ctrl_dropout is not None
         )
+        zeros = jnp.zeros((x.shape[0], 1), dtype=x.dtype)
+
+        if self.noise_pregen:
+            noises, step_keys = self._pregen_scan_inputs(
+                key, ts, x, scale_sqrt_dt=False
+            )
+
+            def body(carry, inp):
+                x, rnd, ito = carry
+                s, t, noise = inp[:3]
+                k_extra = inp[3] if needs_step_keys else None
+                x_next, rnd, ito = step_core(
+                    x, rnd, ito, s, t, noise, k_extra
+                )
+                out = x_next if return_traj else None
+                return (x_next, rnd, ito), out
+
+            scan_xs = (ts[:-1], ts[1:], noises)
+            if needs_step_keys:
+                scan_xs = scan_xs + (step_keys,)
+            if self.remat and train:
+                body = jax.checkpoint(body)
+            (x_T, rnd, ito), traj = jax.lax.scan(
+                body, (x, zeros, zeros), scan_xs, unroll=self.scan_unroll
+            )
+        else:
+
+            def body(carry, inp):
+                x, rnd, ito, key = carry
+                s, t = inp
+                key, k_noise, k_extra = jax.random.split(key, 3)
+                noise = jax.random.normal(k_noise, x.shape, dtype=x.dtype)
+                x_next, rnd, ito = step_core(
+                    x, rnd, ito, s, t, noise, k_extra
+                )
+                out = x_next if return_traj else None
+                return (x_next, rnd, ito, key), out
+
+            if self.remat and train:
+                body = jax.checkpoint(body)
+            (x_T, rnd, ito, _), traj = jax.lax.scan(
+                body, (x, zeros, zeros, key), (ts[:-1], ts[1:]),
+                unroll=self.scan_unroll,
+            )
         rnd = rnd + reference_log_prob(x_T) - terminal_unnorm_log_prob(x_T)
         xs = None
         if return_traj:
             xs = jnp.concatenate([x[None], traj], axis=0)
         return RolloutResult(x_T, rnd + ito, rnd, xs)
+
+    def _two_phase_loss(
+        self, key, ts, x, terminal_unnorm_log_prob, reference_log_prob
+    ):
+        """Two-phase lv for the exponential-integrator update rule."""
+        sigma = self.sigma
+        noises, step_keys = self._pregen_scan_inputs(
+            key, ts, x, scale_sqrt_dt=False
+        )
+        needs_step_keys = (
+            self.sde_ctrl_noise is not None
+            or self.sde_ctrl_dropout is not None
+        )
+
+        def beta_alpha(s, t):
+            beta_k = jnp.clip(self.alpha * jnp.sqrt(t - s), 0.0, 1.0)
+            return beta_k, jnp.sqrt(1.0 - beta_k**2)
+
+        def sim_body(x, inp):
+            s, t, noise = inp[:3]
+            k_ctrl = (
+                jax.random.split(inp[3])[0] if needs_step_keys else None
+            )
+            _, sde_ctrl = self.generative_and_sde_ctrl(s, x, k_ctrl)
+            beta_k, alpha_k = beta_alpha(s, t)
+            x_next = (
+                x * alpha_k
+                + (beta_k**2) * (sigma**2) * sde_ctrl
+                + sigma * beta_k * noise
+            )
+            return x_next, x
+
+        scan_xs = (ts[:-1], ts[1:], noises)
+        if needs_step_keys:
+            scan_xs = scan_xs + (step_keys,)
+        x_T, xs = jax.lax.scan(sim_body, x, scan_xs, unroll=self.scan_unroll)
+        x_T = jax.lax.stop_gradient(x_T)
+        xs = jax.lax.stop_gradient(xs)
+
+        def per_step(s, t, x_k, noise, k=None):
+            k_ctrl = jax.random.split(k)[0] if needs_step_keys else None
+            generative_ctrl, sde_ctrl = self.generative_and_sde_ctrl(
+                s, x_k, k_ctrl
+            )
+            beta_k, _ = beta_alpha(s, t)
+            running_cost = (
+                generative_ctrl * (sde_ctrl - 0.5 * generative_ctrl)
+            ).sum(axis=-1, keepdims=True)
+            cost = beta_k**2 * sigma**2 * running_cost
+            ito = (sigma * generative_ctrl * noise * beta_k).sum(
+                axis=-1, keepdims=True
+            )
+            return cost, ito
+
+        args = (ts[:-1], ts[1:], xs, noises)
+        if needs_step_keys:
+            args = args + (step_keys,)
+        costs, itos = jax.vmap(per_step)(*args)
+        rnd_no_ito = (
+            costs.sum(0)
+            + reference_log_prob(x_T)
+            - terminal_unnorm_log_prob(x_T)
+        )
+        rnd = rnd_no_ito + itos.sum(0)
+        return self.compute_loss(rnd, samples=x_T)
 
     __call__ = ReferenceSDELoss.__call__
     eval = ReferenceSDELoss.eval
