@@ -152,6 +152,12 @@ def main():
         help="optimizer steps fused per dispatch (fori_loop step chunking; "
         "amortizes host/tunnel round trips)",
     )
+    parser.add_argument(
+        "--no-fast", action="store_true",
+        help="measure only the reference-faithful scan path (per-step "
+        "threefry, fused fwd+bwd scan) instead of the two-phase LV fast "
+        "path",
+    )
     args = parser.parse_args()
 
     import jax
@@ -181,7 +187,19 @@ def main():
     n_devices = args.n_devices
     extra = [f"n_devices={n_devices}"] if n_devices > 1 else []
 
-    solver = _build_solver(batch, em_steps, extra)
+    # Fast path (round-3): two-phase LV training — the detached-control
+    # rollout records states, one batched MXU-friendly control evaluation
+    # carries all gradients (losses/oc.py _two_phase_loss; gradients equal
+    # the scan path, tests/test_two_phase.py) — plus pregenerated noise
+    # and scan unroll. 1.9x the scan path on hardware (r3 ablations).
+    FAST = [
+        "+loss.two_phase=True",
+        "+loss.noise_pregen=True",
+        "+loss.scan_unroll=8",
+    ]
+    fast = not args.no_fast
+
+    solver = _build_solver(batch, em_steps, extra + (FAST if fast else []))
     elapsed, n_iters = _measure(
         solver, n_iters=args.iters, steps_per_call=args.steps_per_call
     )
@@ -198,6 +216,7 @@ def main():
 
     result = {
         "steps_per_call": args.steps_per_call,
+        "fast_path": fast,
         "metric": "em_traj_throughput",
         "value": value,
         "unit": f"EM steps x batch / sec / chip (DIS funnel d=10, batch {batch}, {em_steps} steps, lv loss)",
@@ -220,7 +239,7 @@ def main():
         env["JAX_PLATFORMS"] = "cpu"
         env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
         cmd = [sys.executable, str(Path(__file__).resolve()),
-               "--n-devices", "8", "--skip-bf16", "--no-scaling",
+               "--n-devices", "8", "--skip-bf16", "--no-scaling", "--no-fast",
                "--iters", "4", "--batch", "512", "--em-steps", "20",
                "--steps-per-call", "2"]
         try:
@@ -236,9 +255,22 @@ def main():
         except Exception as exc:  # never fail the headline bench
             result["dp8_virtual"] = {"ok": False, "error": str(exc)}
 
+    if fast and n_devices == 1:
+        # continuity record: the reference-faithful scan path
+        ref_solver = _build_solver(batch, em_steps, extra)
+        ref_elapsed, ref_iters = _measure(
+            ref_solver, n_iters=min(args.iters, 500),
+            steps_per_call=args.steps_per_call,
+        )
+        result["reference_path_value"] = (
+            em_steps * batch * ref_iters / ref_elapsed / n_devices
+        )
+        del ref_solver
+
     if not args.skip_bf16:
         bf16_solver = _build_solver(
-            batch, em_steps, extra + ["matmul_precision=bfloat16"]
+            batch, em_steps,
+            extra + ["matmul_precision=bfloat16"] + (FAST if fast else []),
         )
         bf16_elapsed, bf16_iters = _measure(
             bf16_solver, n_iters=args.iters,

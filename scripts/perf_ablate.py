@@ -49,6 +49,13 @@ VARIANTS = {
     "noremat_pregen": ["+loss.remat=False", "+loss.noise_pregen=True"],
     "two_phase": ["+loss.two_phase=True"],
     "two_phase_unroll8": ["+loss.two_phase=True", "+loss.scan_unroll=8"],
+    "two_phase_unroll16": ["+loss.two_phase=True", "+loss.scan_unroll=16"],
+    "two_phase_unroll40": ["+loss.two_phase=True", "+loss.scan_unroll=40"],
+    "two_phase_simxla_u8": [
+        "+loss.two_phase=True", "+loss.sim_backend=xla",
+        "+loss.scan_unroll=8",
+    ],
+    "two_phase_pallas": ["+loss.two_phase=True", "+loss.sim_backend=pallas"],
     "fwd": [],  # special-cased: forward-only timing on the base build
 }
 

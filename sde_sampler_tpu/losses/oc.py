@@ -120,6 +120,7 @@ class BaseOCLoss:
         scan_unroll: int = 1,
         noise_pregen: bool = False,
         two_phase: bool = False,
+        sim_backend: str = "auto",
         **kwargs,
     ):
         self.generative_ctrl = generative_ctrl
@@ -164,6 +165,33 @@ class BaseOCLoss:
                 f"got {method}."
             )
         self.two_phase = two_phase
+        # Phase-1 simulation backend: "xla" = lax.scan; "pallas" = the
+        # fused rollout kernel (ops/rollout_pallas) — the whole rollout in
+        # one Mosaic launch. The kernel beats the scan standalone (2.8 vs
+        # 5.9 ms at the flagship shape, hardware-measured r3) but XLA
+        # currently compiles the differentiable phase-2 ~3x slower around
+        # the opaque custom call, so "auto" resolves to the scan for
+        # TRAINING; the kernel's clean win is the eval rollout (pure sim).
+        # Mesh runs always keep the scan (pallas under pjit not wired).
+        if sim_backend not in ("auto", "xla", "pallas"):
+            raise ValueError(f"Unknown sim_backend {sim_backend}.")
+        self.sim_backend = sim_backend
+        # attached by the solver (solver/oc.py bound_loss): apply-form
+        # control + its params, and whether a device mesh is active
+        self.ctrl_apply = None
+        self.ctrl_params = None
+        self.mesh_active = False
+
+    def _resolve_sim_backend(self, needs_step_keys: bool) -> str:
+        if (
+            self.ctrl_apply is None
+            or needs_step_keys
+            or self.mesh_active
+        ):
+            return "xla"
+        if self.sim_backend == "auto":
+            return "xla"
+        return self.sim_backend
 
     def _pregen_scan_inputs(self, key, ts, x, scale_sqrt_dt: bool = True):
         """(noise increments, per-step keys) drawn up-front for the scan.
@@ -452,23 +480,38 @@ class TimeReversalLoss(BaseOCLoss):
             )
         )
 
-        def sim_body(x, inp):
-            s, t, db = inp[:3]
-            k_ctrl = (
-                jax.random.split(inp[3])[0] if needs_step_keys else None
+        if self._resolve_sim_backend(needs_step_keys) == "pallas":
+            from sde_sampler_tpu.ops.rollout_pallas import (
+                fused_sim_rollout,
+                sde_step_fn,
             )
-            _, sde_ctrl = self.generative_and_sde_ctrl(s, x, k_ctrl)
-            sde_diff = self.sde.diff(s, x)
-            x_next = (
-                x + (self.sde.drift(s, x) + sde_diff * sde_ctrl) * (t - s)
-                + sde_diff * db
-            )
-            return x_next, x
 
-        scan_xs = (ts[:-1], ts[1:], dbs)
-        if needs_step_keys:
-            scan_xs = scan_xs + (step_keys,)
-        x_T, xs = jax.lax.scan(sim_body, x, scan_xs, unroll=self.scan_unroll)
+            step = sde_step_fn(
+                self.ctrl_apply, drift=self.sde.drift, diff=self.sde.diff
+            )
+            xs, x_T = fused_sim_rollout(step, self.ctrl_params, x, ts, dbs)
+        else:
+
+            def sim_body(x, inp):
+                s, t, db = inp[:3]
+                k_ctrl = (
+                    jax.random.split(inp[3])[0] if needs_step_keys else None
+                )
+                _, sde_ctrl = self.generative_and_sde_ctrl(s, x, k_ctrl)
+                sde_diff = self.sde.diff(s, x)
+                x_next = (
+                    x
+                    + (self.sde.drift(s, x) + sde_diff * sde_ctrl) * (t - s)
+                    + sde_diff * db
+                )
+                return x_next, x
+
+            scan_xs = (ts[:-1], ts[1:], dbs)
+            if needs_step_keys:
+                scan_xs = scan_xs + (step_keys,)
+            x_T, xs = jax.lax.scan(
+                sim_body, x, scan_xs, unroll=self.scan_unroll
+            )
         x_T = jax.lax.stop_gradient(x_T)
         xs = jax.lax.stop_gradient(xs)
 
@@ -656,23 +699,38 @@ class ReferenceSDELoss(BaseOCLoss):
             or self.sde_ctrl_dropout is not None
         )
 
-        def sim_body(x, inp):
-            s, t, db = inp[:3]
-            k_ctrl = (
-                jax.random.split(inp[3])[0] if needs_step_keys else None
+        if self._resolve_sim_backend(needs_step_keys) == "pallas":
+            from sde_sampler_tpu.ops.rollout_pallas import (
+                fused_sim_rollout,
+                sde_step_fn,
             )
-            _, sde_ctrl = self.generative_and_sde_ctrl(s, x, k_ctrl)
-            sde_diff = self.sde.diff(s, x)
-            x_next = (
-                x + (self.sde.drift(s, x) + sde_diff * sde_ctrl) * (t - s)
-                + sde_diff * db
-            )
-            return x_next, x
 
-        scan_xs = (ts[:-1], ts[1:], dbs)
-        if needs_step_keys:
-            scan_xs = scan_xs + (step_keys,)
-        x_T, xs = jax.lax.scan(sim_body, x, scan_xs, unroll=self.scan_unroll)
+            step = sde_step_fn(
+                self.ctrl_apply, drift=self.sde.drift, diff=self.sde.diff
+            )
+            xs, x_T = fused_sim_rollout(step, self.ctrl_params, x, ts, dbs)
+        else:
+
+            def sim_body(x, inp):
+                s, t, db = inp[:3]
+                k_ctrl = (
+                    jax.random.split(inp[3])[0] if needs_step_keys else None
+                )
+                _, sde_ctrl = self.generative_and_sde_ctrl(s, x, k_ctrl)
+                sde_diff = self.sde.diff(s, x)
+                x_next = (
+                    x
+                    + (self.sde.drift(s, x) + sde_diff * sde_ctrl) * (t - s)
+                    + sde_diff * db
+                )
+                return x_next, x
+
+            scan_xs = (ts[:-1], ts[1:], dbs)
+            if needs_step_keys:
+                scan_xs = scan_xs + (step_keys,)
+            x_T, xs = jax.lax.scan(
+                sim_body, x, scan_xs, unroll=self.scan_unroll
+            )
         x_T = jax.lax.stop_gradient(x_T)
         xs = jax.lax.stop_gradient(xs)
 
@@ -865,24 +923,40 @@ class ExponentialIntegratorSDELoss(BaseOCLoss):
             beta_k = jnp.clip(self.alpha * jnp.sqrt(t - s), 0.0, 1.0)
             return beta_k, jnp.sqrt(1.0 - beta_k**2)
 
-        def sim_body(x, inp):
-            s, t, noise = inp[:3]
-            k_ctrl = (
-                jax.random.split(inp[3])[0] if needs_step_keys else None
+        if self._resolve_sim_backend(needs_step_keys) == "pallas":
+            from sde_sampler_tpu.ops.rollout_pallas import (
+                exp_integrator_step_fn,
+                fused_sim_rollout,
             )
-            _, sde_ctrl = self.generative_and_sde_ctrl(s, x, k_ctrl)
-            beta_k, alpha_k = beta_alpha(s, t)
-            x_next = (
-                x * alpha_k
-                + (beta_k**2) * (sigma**2) * sde_ctrl
-                + sigma * beta_k * noise
-            )
-            return x_next, x
 
-        scan_xs = (ts[:-1], ts[1:], noises)
-        if needs_step_keys:
-            scan_xs = scan_xs + (step_keys,)
-        x_T, xs = jax.lax.scan(sim_body, x, scan_xs, unroll=self.scan_unroll)
+            step = exp_integrator_step_fn(
+                self.ctrl_apply, alpha=self.alpha, sigma=sigma
+            )
+            xs, x_T = fused_sim_rollout(
+                step, self.ctrl_params, x, ts, noises
+            )
+        else:
+
+            def sim_body(x, inp):
+                s, t, noise = inp[:3]
+                k_ctrl = (
+                    jax.random.split(inp[3])[0] if needs_step_keys else None
+                )
+                _, sde_ctrl = self.generative_and_sde_ctrl(s, x, k_ctrl)
+                beta_k, alpha_k = beta_alpha(s, t)
+                x_next = (
+                    x * alpha_k
+                    + (beta_k**2) * (sigma**2) * sde_ctrl
+                    + sigma * beta_k * noise
+                )
+                return x_next, x
+
+            scan_xs = (ts[:-1], ts[1:], noises)
+            if needs_step_keys:
+                scan_xs = scan_xs + (step_keys,)
+            x_T, xs = jax.lax.scan(
+                sim_body, x, scan_xs, unroll=self.scan_unroll
+            )
         x_T = jax.lax.stop_gradient(x_T)
         xs = jax.lax.stop_gradient(xs)
 

@@ -20,11 +20,15 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from sde_sampler_tpu.ops import mosaic_compat
+
 _ACTIVATIONS: dict[str, Callable] = {
     # exact (erf) GELU: the reference's torch.nn.GELU default
     # (conf/model/base/fouriermlp.yaml) — keeps imported torch checkpoints
-    # bit-comparable; jax.nn.gelu defaults to the tanh approximation
-    "gelu": lambda x: jax.nn.gelu(x, approximate=False),
+    # bit-comparable; jax.nn.gelu defaults to the tanh approximation.
+    # Inside Mosaic kernel traces this transparently switches to a
+    # polynomial erf (Mosaic has no erf lowering; see ops/mosaic_compat).
+    "gelu": mosaic_compat.gelu_exact,
     "relu": jax.nn.relu,
     "silu": jax.nn.silu,
     "tanh": jnp.tanh,
@@ -121,7 +125,15 @@ class TimeEmbed(nn.Module):
     def __call__(self, t, *args):
         act = get_activation(self.activation)
         t = _as_t_batch(t)
-        timestep_coeff = jnp.linspace(0.1, 100, self.channels)[None, :]
+        if mosaic_compat.in_mosaic_trace():
+            # Mosaic has no float-iota; integer iota + affine matches
+            # jnp.linspace to ~2e-5 relative (fp32 rounding differences)
+            idx = jax.lax.broadcasted_iota(
+                jnp.int32, (1, self.channels), 1
+            ).astype(jnp.float32)
+            timestep_coeff = 0.1 + idx * ((100.0 - 0.1) / (self.channels - 1))
+        else:
+            timestep_coeff = jnp.linspace(0.1, 100, self.channels)[None, :]
         timestep_phase = self.param(
             "timestep_phase", nn.initializers.normal(1.0), (1, self.channels)
         )

@@ -26,6 +26,18 @@ def _clip(value, max_norm):
     return jnp.clip(value, -max_norm, max_norm)
 
 
+def _mul(a, b):
+    """a * b, collapsing a (1, 1) factor to a scalar first.
+
+    Numerically identical to broadcasting; required inside Mosaic kernel
+    traces (ops/rollout_pallas), which cannot broadcast (1, 1) -> (B, d)
+    across sublanes and lanes in one op.
+    """
+    if getattr(b, "shape", None) == (1, 1):
+        return a * b[0, 0]
+    return a * b
+
+
 def _pick(clips: dict | None, key: str, default):
     if clips is not None and key in clips and clips[key] is not None:
         return clips[key]
@@ -72,7 +84,7 @@ class ScoreCtrl(ClippedCtrl):
         ctrl = self.clipped_base_model(t, x, clips)
         score = self.scale_score * self.clipped_target_score(t, x, clips)
         if self.score_model is not None:
-            score = score * self.clipped_score_model(t, x, clips)
+            score = _mul(score, self.clipped_score_model(t, x, clips))
         return ctrl + score
 
 
@@ -90,7 +102,7 @@ class CancelDriftCtrl(ScoreCtrl):
             scale = self.scale_score
         score = scale * self.clipped_target_score(t, x, clips)
         if self.score_model is not None:
-            score = score * self.clipped_score_model(t, x, clips)
+            score = _mul(score, self.clipped_score_model(t, x, clips))
         return ctrl + (score - self.sde.drift(t, x)) / sde_diff
 
 
@@ -121,7 +133,7 @@ class LerpCtrl(ScoreCtrl):
             score_model = self.clipped_score_model(t, x, clips)
             if self.hard_constrain:
                 score_model = self.constrain(score_model, t)
-            score = score * score_model
+            score = _mul(score, score_model)
         return ctrl + self.sde.diff(t, x) * score
 
 

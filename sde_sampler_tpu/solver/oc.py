@@ -106,6 +106,14 @@ class TrainableDiff(Trainable):
                 params["inference_ctrl"],
                 clips.get("inference_ctrl"),
             )
+        # Apply-form control for the fused Pallas rollout sim (params enter
+        # the kernel as explicit VMEM inputs instead of closure captures).
+        gen_clips = clips.get("generative_ctrl")
+        ctrls["ctrl_apply"] = lambda p, t, x: self.generative_ctrl.apply(
+            {"params": p}, t, x, clips=gen_clips
+        )
+        ctrls["ctrl_params"] = params["generative_ctrl"]
+        ctrls["mesh_active"] = self.mesh is not None
         return self.loss.with_ctrls(**ctrls)
 
     def clipped_target_unnorm_log_prob(self, x):
