@@ -158,3 +158,34 @@ def test_two_phase_rejects_kl():
         TimeReversalLoss(
             generative_ctrl=ctrl, sde=sde, method="kl", two_phase=True
         )
+
+
+def test_two_phase_multichip_matches_singlechip(tmp_path):
+    """two_phase under a dp mesh: the pregen (T, B, d) draw and the
+    batched phase-2 evaluation must shard over the batch and track the
+    single-device run (same seed => same draws; only reduction order
+    differs)."""
+    import numpy as np
+
+    from test_solvers import TINY, build_solver
+
+    base = (
+        ["solver=basic_dis", "target=dw_shift", "loss.method=lv",
+         "+loss.two_phase=True", "+loss.noise_pregen=True"]
+        + TINY
+    )
+
+    def losses(n_devices, sub):
+        solver = build_solver(
+            base + ([f"n_devices={n_devices}"] if n_devices else []),
+            tmp_path / sub,
+        )
+        out = []
+        for _ in range(3):
+            metrics = solver.step()
+            out.append(float(metrics["train/loss"]))
+        return out
+
+    l1 = losses(None, "d1")
+    l8 = losses(8, "d8")
+    np.testing.assert_allclose(l1, l8, rtol=1e-4, atol=1e-5)
