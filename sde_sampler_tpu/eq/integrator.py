@@ -45,8 +45,101 @@ class Integrator:
         raise NotImplementedError
 
 
+def _float0_like(x):
+    """Symbolic-zero cotangent for integer args (PRNG keys)."""
+    if jnp.issubdtype(jnp.result_type(x), jnp.inexact):
+        return jnp.zeros_like(x)
+    return np.zeros(jnp.shape(x), jax.dtypes.float0)
+
+
+def _make_adjoint_euler(fn, t0: float, t1: float, shape, depth: int):
+    """Euler-Maruyama with continuous-adjoint backprop (O(1) activations).
+
+    Capability equivalent of torchsde.sdeint_adjoint as used by the
+    reference (/root/reference/sde_sampler/eq/integrator.py:29-63,
+    `adjoint=True`): the forward rollout stores NO per-step activations;
+    the backward pass re-derives the trajectory by reverse Euler using the
+    SAME Brownian path (reconstructed point-wise from the
+    VirtualBrownianTree — a pure function of (key, t)) while integrating
+    the adjoint state and accumulating parameter cotangents via per-step
+    VJPs. The trajectory reconstruction is the standard continuous-adjoint
+    approximation: reverse Euler is the O(dt)-accurate inverse of forward
+    Euler, so gradients converge to the direct-autodiff gradients as
+    dt -> 0 (tests/test_eq.py pins the agreement).
+
+    `fn(t, x, *consts) -> (drift, diff_broadcast)` must be
+    closure-converted so every traced parameter is an explicit const.
+    """
+
+    def _bm(key):
+        return VirtualBrownianTree(t0, t1, key, shape, depth=depth)
+
+    @jax.custom_vjp
+    def run(timesteps, x_init, key, *consts):
+        bm = _bm(key)
+
+        def step(x, inp):
+            s, t = inp
+            f, g = fn(s, x, *consts)
+            x_next = x + f * (t - s) + g * (bm(t) - bm(s))
+            return x_next, x_next
+
+        _, xs_tail = jax.lax.scan(
+            step, x_init, (timesteps[:-1], timesteps[1:])
+        )
+        return jnp.concatenate([x_init[None], xs_tail], axis=0)
+
+    def run_fwd(timesteps, x_init, key, *consts):
+        xs = run(timesteps, x_init, key, *consts)
+        # O(1) residuals: terminal state only — no trajectory, no
+        # activations (the returned xs is the caller's requested output,
+        # not a residual)
+        return xs, (timesteps, xs[-1], key, consts)
+
+    def run_bwd(res, g_xs):
+        timesteps, x_T, key, consts = res
+        bm = _bm(key)
+        zero_consts = tuple(jnp.zeros_like(c) for c in consts)
+
+        def back(carry, inp):
+            x, lam, cbars = carry
+            s, t, gbar = inp
+            lam = lam + gbar  # cotangent flowing into the output x_t
+            d_w = bm(t) - bm(s)
+            # reverse Euler: O(dt)-accurate inverse of the forward step
+            f_t, g_t = fn(t, x, *consts)
+            x_prev = x - f_t * (t - s) - g_t * d_w
+
+            def forward_step(xp, *cs):
+                f, g = fn(s, xp, *cs)
+                return xp + f * (t - s) + g * d_w
+
+            _, vjp = jax.vjp(forward_step, x_prev, *consts)
+            lam_new, *c_inc = vjp(lam)
+            cbars = tuple(c + ci for c, ci in zip(cbars, c_inc))
+            return (x_prev, lam_new, cbars), None
+
+        (x0_rec, lam0, cbars), _ = jax.lax.scan(
+            back,
+            (x_T, jnp.zeros_like(x_T), zero_consts),
+            (timesteps[:-1], timesteps[1:], g_xs[1:]),
+            reverse=True,
+        )
+        lam0 = lam0 + g_xs[0]
+        return (jnp.zeros_like(timesteps), lam0, _float0_like(key), *cbars)
+
+    run.defvjp(run_fwd, run_bwd)
+    return run
+
+
 class EulerIntegrator(Integrator):
-    """Euler-Maruyama scheme on an internal grid (dt or steps)."""
+    """Euler-Maruyama scheme on an internal grid (dt or steps).
+
+    `adjoint=True` switches backprop to the continuous-adjoint method
+    (see _make_adjoint_euler) — the reference's torchsde `sdeint_adjoint`
+    option (conf/integrator/torchsde_euler.yaml + adjoint flag,
+    reference eq/integrator.py:29).
+    """
 
     def __init__(
         self,
@@ -54,11 +147,15 @@ class EulerIntegrator(Integrator):
         steps: int | None = None,
         rescale_t: str | None = None,
         eps: float = 1e-8,
+        adjoint: bool = False,
+        depth: int = 22,
     ):
         self.dt = dt
         self.steps = steps
         self.rescale_t = rescale_t
         self.eps = eps
+        self.adjoint = adjoint
+        self.depth = depth
 
     def integrate(
         self,
@@ -76,6 +173,36 @@ class EulerIntegrator(Integrator):
                 float(ts_host[0]), float(ts_host[-1]),
                 dt=self.dt if self.steps is None else None,
                 steps=self.steps, rescale_t=self.rescale_t,
+            )
+
+        if self.adjoint:
+            # The Brownian tree needs CONCRETE span endpoints. Under jit the
+            # internally-built `timesteps` is staged (tracer) even though it
+            # came from host floats — fall back to the setup-time `ts` grid,
+            # whose endpoints the internal grid spans by construction.
+            for grid in (timesteps, ts):
+                if not isinstance(grid, jax.core.Tracer):
+                    grid_host = np.asarray(grid)
+                    break
+            else:
+                raise ValueError(
+                    "adjoint=True needs a concrete time grid (both "
+                    "`timesteps` and `ts` are traced)"
+                )
+            t0, t1 = float(grid_host[0]), float(grid_host[-1])
+
+            def drift_diff(t, x):
+                return sde.drift(t, x), sde.diff(t, x) * jnp.ones_like(x)
+
+            converted, consts = jax.closure_convert(
+                drift_diff, jnp.asarray(t0), x_init
+            )
+            run = _make_adjoint_euler(
+                converted, t0, t1, x_init.shape, self.depth,
+            )
+            xs = run(jnp.asarray(timesteps), x_init, key, *consts)
+            return _interpolate_to_grid(
+                jnp.asarray(timesteps), xs, jnp.asarray(ts)
             )
 
         def step(carry, inp):

@@ -244,3 +244,68 @@ def test_euler_strong_convergence_order():
     assert err_coarse > err_fine > 0
     # order ~1 => ratio ~8; leave slack but exclude order 1/2 (ratio ~2.8)
     assert err_coarse / err_fine > 4.5, (err_coarse, err_fine)
+
+
+class _ThetaOU:
+    """Minimal SDE with a traced drift parameter for adjoint-grad tests."""
+
+    def __init__(self, theta):
+        self.theta = theta
+
+    def drift(self, t, x):
+        return -self.theta * x + jnp.sin(self.theta * t)
+
+    def diff(self, t, x):
+        return 0.4
+
+
+def test_adjoint_euler_forward_matches_direct():
+    """adjoint=True must change ONLY the backward pass: forward values on
+    the same Brownian-tree path are bitwise-close to the direct path."""
+    from sde_sampler_tpu.eq.integrator import VirtualBrownianTree
+
+    key = jax.random.PRNGKey(11)
+    x0 = jnp.linspace(-1.0, 1.0, 12).reshape(6, 2)
+    ts = jnp.asarray([0.0, 0.5, 1.0])
+    sde = _ThetaOU(jnp.asarray(0.8))
+    bm = VirtualBrownianTree(0.0, 1.0, key, x0.shape, depth=18)
+
+    direct = EulerIntegrator(steps=64).integrate(sde, ts, x0, key, bm=bm)
+    adj = EulerIntegrator(steps=64, adjoint=True, depth=18).integrate(
+        sde, ts, x0, key
+    )
+    np.testing.assert_allclose(np.asarray(adj), np.asarray(direct),
+                               rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("steps,tol", [(64, 0.05), (256, 0.015)])
+def test_adjoint_euler_gradients_converge_to_direct(steps, tol):
+    """Continuous-adjoint gradients approach direct-autodiff gradients as
+    dt -> 0 (reverse Euler reconstruction is the O(dt) term). Mirrors the
+    reference's sdeint vs sdeint_adjoint equivalence (reference
+    eq/integrator.py:60)."""
+    from sde_sampler_tpu.eq.integrator import VirtualBrownianTree
+
+    key = jax.random.PRNGKey(5)
+    x0 = jnp.linspace(0.3, 1.2, 8).reshape(4, 2)
+    ts = jnp.asarray([0.0, 1.0])
+
+    def loss(theta, adjoint):
+        sde = _ThetaOU(theta)
+        if adjoint:
+            integ = EulerIntegrator(steps=steps, adjoint=True, depth=18)
+            xs = integ.integrate(sde, ts, x0, key)
+        else:
+            bm = VirtualBrownianTree(0.0, 1.0, key, x0.shape, depth=18)
+            xs = EulerIntegrator(steps=steps).integrate(
+                sde, ts, x0, key, bm=bm
+            )
+        return (xs[-1] ** 2).mean() + jnp.abs(xs[-1]).sum() * 0.1
+
+    theta = jnp.asarray(0.7)
+    g_direct = float(jax.grad(loss)(theta, False))
+    g_adjoint = float(jax.jit(jax.grad(loss), static_argnums=1)(theta, True))
+    assert g_direct != 0.0
+    assert abs(g_adjoint - g_direct) / abs(g_direct) < tol, (
+        g_adjoint, g_direct
+    )
