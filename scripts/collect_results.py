@@ -39,8 +39,15 @@ def fmt(v):
 
 # Runs that are not paper-scale grid cells (chip-liveness smoke, the
 # bf16-vs-f32 quick-start quality pair, Cox — which has its own RESULTS
-# section with the 512.6-anchor analysis) stay out of the published table.
-EXCLUDE_PREFIXES = ("smoke", "quick_", "cox")
+# section with the 512.6-anchor analysis, the 3k-step fast-path
+# production wall-clock probe) stay out of the published table, as do
+# quarantined run dirs (marked by a "." in the name, e.g.
+# `*.corrupt-dupwriter`, `*.killed-*`).
+EXCLUDE_PREFIXES = ("smoke", "quick_", "cox", "funnel_fast_prod_probe")
+
+
+def _excluded(name: str) -> bool:
+    return name.startswith(EXCLUDE_PREFIXES) or "." in name
 
 
 def table(*roots: str) -> str:
@@ -49,7 +56,7 @@ def table(*roots: str) -> str:
     for root in roots:
         for metrics_file in sorted(Path(root).glob("*/metrics.jsonl")):
             name = metrics_file.parent.name
-            if name.startswith(EXCLUDE_PREFIXES):
+            if _excluded(name):
                 continue
             m = last_eval_line(metrics_file)
             if m is None:
@@ -64,17 +71,66 @@ def table(*roots: str) -> str:
     return "\n".join(lines)
 
 
+def seed_table(*roots: str) -> str:
+    """Aggregate `<cell>` + `<cell>_seedN` replicates into mean ± std rows.
+
+    Seed 1 is the default seed used by the plain cell run; replicates are
+    suffixed `_seedN`. Only cells with >=2 replicates are listed.
+    """
+    import re
+
+    import numpy as np
+
+    groups: dict[str, dict[int, dict]] = {}
+    for root in roots:
+        for metrics_file in sorted(Path(root).glob("*/metrics.jsonl")):
+            name = metrics_file.parent.name
+            if _excluded(name):
+                continue
+            match = re.fullmatch(r"(.+?)_seed(\d+)", name)
+            base, seed = (match.group(1), int(match.group(2))) if match \
+                else (name, 1)
+            m = last_eval_line(metrics_file)
+            if m is not None:
+                # later roots win for the same (base, seed)
+                groups.setdefault(base, {})[seed] = m
+    lines = [
+        "| Cell (n seeds) | "
+        + " | ".join(label for _, label in KEYS) + " |",
+        "|" + "---|" * (len(KEYS) + 1),
+    ]
+    for base, by_seed in sorted(groups.items()):
+        if len(by_seed) < 2:
+            continue
+        cells = []
+        for k, _ in KEYS:
+            vals = [m[k] for m in by_seed.values() if k in m]
+            vals = [v for v in vals if np.isfinite(v)]
+            if not vals:
+                cells.append("—")
+                continue
+            mean, std = float(np.mean(vals)), float(np.std(vals, ddof=1))
+            cells.append(f"{fmt(mean)} ± {fmt(std)}")
+        lines.append(f"| {base} ({len(by_seed)}) | " + " | ".join(cells) + " |")
+    return "\n".join(lines)
+
+
 START, END = "<!-- GRID_TABLE_START -->", "<!-- GRID_TABLE_END -->"
+SEED_START, SEED_END = "<!-- SEED_TABLE_START -->", "<!-- SEED_TABLE_END -->"
 
 
 def update_results(roots: list[str], results_md: Path):
-    """Rewrite the marked grid-table block in RESULTS.md."""
+    """Rewrite the marked grid/seed-table blocks in RESULTS.md."""
     text = results_md.read_text()
     head, rest = text.split(START, 1)
     _, tail = rest.split(END, 1)
-    results_md.write_text(
-        head + START + "\n" + table(*roots) + "\n" + END + tail
-    )
+    text = head + START + "\n" + table(*roots) + "\n" + END + tail
+    if SEED_START in text:
+        head, rest = text.split(SEED_START, 1)
+        _, tail = rest.split(SEED_END, 1)
+        text = head + SEED_START + "\n" + seed_table(*roots) + "\n" \
+            + SEED_END + tail
+    results_md.write_text(text)
 
 
 if __name__ == "__main__":
