@@ -43,7 +43,9 @@ def fmt(v):
 # production wall-clock probe) stay out of the published table, as do
 # quarantined run dirs (marked by a "." in the name, e.g.
 # `*.corrupt-dupwriter`, `*.killed-*`).
-EXCLUDE_PREFIXES = ("smoke", "quick_", "cox", "funnel_fast_prod_probe")
+EXCLUDE_PREFIXES = (
+    "smoke", "quick_", "cox", "funnel_fast_prod_probe", "nice_smooth_cpu",
+)
 
 
 def _excluded(name: str) -> bool:

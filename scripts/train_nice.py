@@ -123,6 +123,20 @@ def train_nice(args):
 
     if args.synthetic:
         images = resize_14(synthetic_images(args.synthetic, seed=args.seed))
+        if args.pixel_noise > 0:
+            # Soften the near-manifold synthetic density: the bump images
+            # have ~15 intrinsic dims in 196-d, which trains a flow that is
+            # pathologically sharp off-manifold (round-3 NICE diagnosis —
+            # E[log p]=-85 vs -278 for N(0,I)). Full-rank pixel noise gives
+            # every dimension real thickness, like MNIST's stroke noise.
+            # pixel noise is applied PER TRAINING STEP inside train_step
+            # (see below), not here: noise baked into the dataset once
+            # leaves 4000 fixed points the flow memorizes (observed: NLL
+            # blows through the sigma entropy floor), and clip(x+noise,
+            # 0, 1) additionally puts point masses at the boundaries.
+            # Fresh unclipped noise each step makes the learned density
+            # genuinely sigma-thick in all 196 dims.
+            pass
         print(f"Generated synthetic dataset: {images.shape}")
     else:
         images = resize_14(load_mnist_images(Path(args.data_dir)))
@@ -144,11 +158,19 @@ def train_nice(args):
     )
     opt_state = tx.init(params)
 
+    pixel_noise = float(args.pixel_noise) if args.synthetic else 0.0
+
     @jax.jit
     def train_step(params, opt_state, key, batch):
         def loss_fn(p):
-            noise = jax.random.uniform(key, batch.shape)
+            k_deq, k_pix = jax.random.split(key)
+            noise = jax.random.uniform(k_deq, batch.shape)
             x = (batch * 255.0 + noise) / 256.0 - mean  # dequantize + center
+            if pixel_noise > 0:
+                # fresh full-rank Gaussian noise each step: the target
+                # density the flow learns is the bump manifold convolved
+                # with N(0, sigma^2 I) — sigma-thick in every dimension
+                x = x + pixel_noise * jax.random.normal(k_pix, x.shape)
             return -nice_lib.nice_log_prob(p, x, mask_config).mean()
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
@@ -183,7 +205,7 @@ def train_nice(args):
                 log_dir / f"samples_iter{it}.png",
             )
 
-    out = DATA_DIR / "nice.npz"
+    out = DATA_DIR / args.out
     nice_lib.save_nice_checkpoint(
         out,
         params,
@@ -204,6 +226,15 @@ if __name__ == "__main__":
     parser.add_argument(
         "--synthetic", type=int, default=0,
         help="train on N deterministic synthetic images instead of MNIST",
+    )
+    parser.add_argument(
+        "--pixel-noise", type=float, default=0.0,
+        help="Gaussian pixel noise added to synthetic images (softens the "
+        "flow's off-manifold sharpness; see round-3 NICE diagnosis)",
+    )
+    parser.add_argument(
+        "--out", type=str, default="nice.npz",
+        help="checkpoint filename under data/",
     )
     parser.add_argument(
         "--mid_dim", type=int, default=0,

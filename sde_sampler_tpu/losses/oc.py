@@ -273,11 +273,23 @@ class BaseOCLoss:
         neg_rnd = -rnd
         log_weights_max = neg_rnd.max()
         weights = jnp.exp(neg_rnd - log_weights_max)
+        # A diverged trajectory (rnd = +inf; funnel-tail EM blowup, seen in
+        # ~0.03% of 100k-sample evals for some trained controls) makes the
+        # unfiltered lower-bound means -inf. Those stay as the primary
+        # (reference-parity) estimators; the *_finite variants + count are
+        # extra diagnostics so such evals remain informative.
+        def fin_mean(v):
+            mask = jnp.isfinite(v)
+            return jnp.where(mask, v, 0.0).sum() / jnp.maximum(mask.sum(), 1)
+
         return {
             "weights": weights,
             "log_norm_const_lb_ito": neg_rnd.mean(),
             "log_norm_const_is": jnp.log(weights.mean()) + log_weights_max,
             "log_norm_const_lb": (-rnd_no_ito).mean(),
+            "log_norm_const_lb_ito_finite": fin_mean(neg_rnd),
+            "log_norm_const_lb_finite": fin_mean(-rnd_no_ito),
+            "n_nonfinite_rnd": (~jnp.isfinite(rnd)).sum(),
             "lv_loss": rnd.var(ddof=1),
         }
 

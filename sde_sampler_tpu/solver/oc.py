@@ -182,6 +182,16 @@ class TrainableDiff(Trainable):
         metrics = {
             "eval/sample_time": sample_time,
             "eval/lv_loss": float(out["lv_loss"]),
+            # diverged-trajectory diagnostics: the primary lb estimators
+            # above are unfiltered means (reference parity) and go -inf if
+            # any eval trajectory diverges; these stay finite.
+            "eval/n_nonfinite_rnd": float(out["n_nonfinite_rnd"]),
+            "eval/log_norm_const_lb_ito_finite": float(
+                out["log_norm_const_lb_ito_finite"]
+            ),
+            "eval/log_norm_const_lb_finite": float(
+                out["log_norm_const_lb_finite"]
+            ),
         }
         results = Results(
             samples=out["samples"],
