@@ -96,7 +96,14 @@ def _pad_to(arr, multiple, axis=0, fill=0.0):
 
 
 def pallas_applicable(n: int, m: int, d: int, p: int) -> bool:
-    return p == 2 and d <= MAX_LANE_D
+    # d >= 2: the first d=1 launch on hardware (dw_shift 100k eval,
+    # round 3) wedged the chip with the classic Mosaic-hang signature —
+    # the host blocked indefinitely on the kernel result. The degenerate
+    # contracted dimension of the (R, 1) x (1, C) MXU dot is the suspected
+    # trigger (interpret-mode results are correct; the hang is
+    # hardware-only). d=1 targets take the chunked-XLA path instead,
+    # which is production-proven on the same eval (round-2 dw cells).
+    return p == 2 and 2 <= d <= MAX_LANE_D
 
 
 def _grid_call(kernel, x, y, row_vecs, col_vecs, *, eps, interpret):

@@ -238,6 +238,10 @@ def test_sinkhorn_backend_auto_selection():
     assert Sinkhorn(backend="pallas")._use_pallas(x, y)
     assert not Sinkhorn(backend="xla")._use_pallas(x, y)
     assert not Sinkhorn(backend="pallas", p=1)._use_pallas(x, y)
+    # d=1 wedged the chip on hardware (round 3, dw_shift eval): even an
+    # explicit pallas request must fall back to the XLA path
+    x1, y1 = jnp.zeros((4, 1)), jnp.zeros((5, 1))
+    assert not Sinkhorn(backend="pallas")._use_pallas(x1, y1)
 
 
 def test_pallas_kernels_match_xla_interpret():
