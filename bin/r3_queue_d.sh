@@ -65,17 +65,20 @@ run gmm_bridge_lv    target=gmm solver=bridge      $GRID_ARGS
 run gmm_dis_subtraj  target=gmm solver=dis_subtraj $GRID_ARGS
 run gmm_dds_euler    target=gmm solver=dds_euler   $GRID_ARGS
 
-# --- VERDICT item 3: kl_ito estimator column (gmm cell exists from r2) ---
+# --- VERDICT item 3: kl_ito estimator column (gmm cell exists from r2;
+#     funnel only before cox — the d=1 pallas wedge cost ~1.5h of chip,
+#     so cox must start by ~22:50 to record its 40k-step eval) ---------
 run funnel_dis_kl_ito   target=funnel   solver=dis loss.method=kl_ito $GRID_ARGS
-run dw_shift_dis_kl_ito target=dw_shift solver=dis loss.method=kl_ito $GRID_ARGS
-run mw_dis_kl_ito       target=mw       solver=dis loss.method=kl_ito $GRID_ARGS
 
 # --- VERDICT item 5: Cox from the standard pipeline (800-step eval default)
 run cox_whitened_60k target=cox +target.use_whitened=True solver=dis \
   train_steps=60000 train_batch_size=1024 eval_batch_size=100000 \
   eval_init=False eval_interval=20000
 
-# --- VERDICT item 3 (rest): lv_traj columns ------------------------------
+# --- VERDICT item 3 (rest): remaining kl_ito + lv_traj columns -----------
+run dw_shift_dis_kl_ito target=dw_shift solver=dis loss.method=kl_ito $GRID_ARGS
+run mw_dis_kl_ito       target=mw       solver=dis loss.method=kl_ito $GRID_ARGS
+# --- VERDICT item 3 (rest 2): lv_traj columns ------------------------------
 run funnel_dis_lv_traj target=funnel solver=dis loss.method=lv_traj \
   loss.traj_per_sample=8 train_batch_size=256 $GRID_ARGS
 run dw_shift_dis_lv_traj target=dw_shift solver=dis loss.method=lv_traj \
