@@ -21,7 +21,12 @@ HARD_STOP=$(date -ud '2026-08-18 00:45' +%s)
 echo "[r3d] waiting for queue A"
 while [ ! -f logs/r3/QUEUE_A_DONE ]; do sleep 10; done
 
+# run [cap_seconds] name args...  — cap bounds a single run (defense
+# against a re-wedged chip eating the whole budget); the hard stop
+# always applies on top.
 run() {
+  local cap=0
+  case "$1" in (*[!0-9]*) ;; (*) cap="$1"; shift;; esac
   local name="$1"; shift
   if [ -f "logs/r3/$name/metrics.jsonl" ]; then
     echo "[r3d] SKIP $name (exists)"; return
@@ -29,6 +34,9 @@ run() {
   local remaining=$(( HARD_STOP - $(date -u +%s) ))
   if [ "$remaining" -lt 600 ]; then
     echo "[r3d] HARD STOP reached — skip $name"; return
+  fi
+  if [ "$cap" -gt 0 ] && [ "$cap" -lt "$remaining" ]; then
+    remaining=$cap
   fi
   echo "[r3d] START $name (budget ${remaining}s): $* $(date -u +%H:%M:%S)"
   timeout "$remaining" python scripts/main.py "$@" \
@@ -52,23 +60,23 @@ if [ -f logs/r3/funnel_dis_lv_twophase/ckpt/ckpt_final.pkl ] && \
 fi
 
 # production wall-clock probe of the fast path at CURRENT defaults
-run funnel_fast_prod_probe target=funnel solver=dis \
+run 1800 funnel_fast_prod_probe target=funnel solver=dis \
   +loss.two_phase=True +loss.noise_pregen=True +loss.scan_unroll=8 \
   train_steps=3000 eval_batch_size=2000 eval_init=False \
   eval_interval=3000 plot_results=False
 
 # --- seed replicate completing the gmm triple (dup-writer redo) ----------
-run gmm_dis_lv_seed3 target=gmm solver=dis seed=3 $GRID_ARGS
+run 2700 gmm_dis_lv_seed3 target=gmm solver=dis seed=3 $GRID_ARGS
 
 # --- VERDICT item 2: solver-family tail at paper scale -------------------
-run gmm_bridge_lv    target=gmm solver=bridge      $GRID_ARGS
-run gmm_dis_subtraj  target=gmm solver=dis_subtraj $GRID_ARGS
-run gmm_dds_euler    target=gmm solver=dds_euler   $GRID_ARGS
+run 3600 gmm_bridge_lv    target=gmm solver=bridge      $GRID_ARGS
+run 3600 gmm_dis_subtraj  target=gmm solver=dis_subtraj $GRID_ARGS
+run 3600 gmm_dds_euler    target=gmm solver=dds_euler   $GRID_ARGS
 
 # --- VERDICT item 3: kl_ito estimator column (gmm cell exists from r2;
 #     funnel only before cox — the d=1 pallas wedge cost ~1.5h of chip,
 #     so cox must start by ~22:50 to record its 40k-step eval) ---------
-run funnel_dis_kl_ito   target=funnel   solver=dis loss.method=kl_ito $GRID_ARGS
+run 3600 funnel_dis_kl_ito   target=funnel   solver=dis loss.method=kl_ito $GRID_ARGS
 
 # --- VERDICT item 5: Cox from the standard pipeline (800-step eval default)
 run cox_whitened_60k target=cox +target.use_whitened=True solver=dis \
