@@ -336,3 +336,30 @@ def test_sinkhorn_zero_weights_do_not_poison_convergence():
             Sinkhorn(mesh=mesh, **kwargs)(x, y, w_x=w_x, w_y=w_y)
         )
         assert sharded == pytest.approx(oracle, rel=1e-4)
+
+
+def test_sinkhorn_d1_xla_path_matches_dense():
+    """d=1 is routed off Pallas (hardware wedge, round 3); the chunked-XLA
+    fallback must stay exact on a 1-d target (the dw_shift eval shape)."""
+    key = jax.random.PRNGKey(3)
+    x = jax.random.normal(key, (96, 1))
+    y = jax.random.normal(jax.random.fold_in(key, 1), (96, 1)) * 1.4 + 0.3
+
+    eps, iters = 1e-2, 200
+    s = Sinkhorn(eps=eps, max_iters=iters, stop_thresh=1e-9,
+                 row_chunk=32, col_chunk=32)
+    assert not s._use_pallas(x, y)
+    chunked = s(x, y)
+
+    m = jnp.abs(x - y.T)
+    n = x.shape[0]
+    log_a = jnp.log(jnp.ones(n) / n)
+    u = jnp.zeros(n)
+    v = eps * jnp.log(jnp.ones(n) / n)
+    for _ in range(iters):
+        u = eps * (log_a - jax.nn.logsumexp((-m + v[None, :]) / eps, axis=1))
+        v = eps * (log_a - jax.nn.logsumexp((-m + u[:, None]) / eps, axis=0))
+    plan = jnp.exp((-m + u[:, None] + v[None, :]) / eps)
+    dense = (plan * m).sum()
+
+    assert float(chunked) == pytest.approx(float(dense), rel=1e-3)
