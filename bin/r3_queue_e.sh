@@ -1,0 +1,111 @@
+#!/bin/bash
+# Round-3 queue E: post-wedge recovery queue (supersedes queue D, killed
+# 21:46 after the chip stayed wedged through two relaunch attempts).
+#
+# Strategy: give the chip a long quiet window, then a CHEAP health probe
+# (50-step funnel train, ~2-3 min healthy, timeout-bounded) in a retry
+# loop; only when a probe completes cleanly do the real cells start.
+# Any later run that hits its timeout (rc=124) is treated as a re-wedge:
+# back to probe mode instead of burning the rest of the queue.
+#
+# Priority order (judge's VERDICT): solver-family tail (item 2, zero
+# at-scale evidence) -> funnel kl_ito (item 3) -> gmm 3rd seed ->
+# two-phase A/B re-eval (item 1 support) -> dw/mw kl_ito -> lv_traj.
+# Cox 60k (~2h) and nice_smooth 60k (~2.5h) don't fit the remaining
+# window and are dropped.
+set -u
+cd "$(dirname "$0")/.."
+mkdir -p logs/r3
+
+HARD_STOP=$(date -ud '2026-08-18 00:45' +%s)
+PROBE_START=$(date -ud '2026-08-17 22:15' +%s)
+
+now() { date -u +%s; }
+say() { echo "[r3e] $* $(date -u +%H:%M:%S)"; }
+
+# Wait out the quiet window.
+while [ "$(now)" -lt "$PROBE_START" ]; do sleep 20; done
+
+probe_until_healthy() {
+  local n=0
+  while [ $(( HARD_STOP - $(now) )) -gt 900 ]; do
+    n=$((n+1))
+    say "PROBE $n start"
+    rm -rf logs/r3/probe_e
+    timeout 360 python scripts/main.py target=funnel solver=dis \
+      train_steps=50 train_batch_size=512 eval_batch_size=512 \
+      eval_init=False plot_results=False out_dir=logs/r3/probe_e \
+      > logs/r3/probe_e.log 2>&1
+    local rc=$?
+    say "PROBE $n rc=$rc"
+    if [ "$rc" -eq 0 ]; then return 0; fi
+    # still wedged: stay quiet 20 min before the next probe
+    sleep 1200
+  done
+  return 1
+}
+
+WEDGED_AGAIN=0
+run() {
+  [ "$WEDGED_AGAIN" -gt 2 ] && return   # 3 re-wedges: give up, stay quiet
+  local cap="$1"; shift
+  local name="$1"; shift
+  if [ -f "logs/r3/$name/metrics.jsonl" ] && [ ! -d "logs/r3/$name.reeval" ]; then
+    say "SKIP $name (exists)"; return
+  fi
+  local remaining=$(( HARD_STOP - $(now) ))
+  if [ "$remaining" -lt 900 ]; then say "HARD STOP — skip $name"; return; fi
+  [ "$cap" -lt "$remaining" ] && remaining=$cap
+  say "START $name (budget ${remaining}s): $*"
+  timeout "$remaining" python scripts/main.py "$@" \
+    out_dir="logs/r3/$name" > "logs/r3/$name.log" 2>&1
+  local rc=$?
+  say "DONE $name rc=$rc"
+  if [ "$rc" -eq 124 ]; then
+    # could be a re-wedge OR just an over-budget run; re-probe to tell
+    WEDGED_AGAIN=$((WEDGED_AGAIN+1))
+    say "rc=124 — re-entering probe mode (count $WEDGED_AGAIN)"
+    sleep 600
+    probe_until_healthy || return
+  fi
+}
+
+probe_until_healthy || { say "never healthy — queue abandoned"; exit 1; }
+say "CHIP HEALTHY — starting cells"
+
+GRID_ARGS="eval_init=False eval_interval=60000"
+
+# --- VERDICT item 2: solver-family tail at paper scale -------------------
+run 2400 gmm_bridge_lv    target=gmm solver=bridge      $GRID_ARGS
+run 2400 gmm_dis_subtraj  target=gmm solver=dis_subtraj $GRID_ARGS
+run 2400 gmm_dds_euler    target=gmm solver=dds_euler   $GRID_ARGS
+
+# --- VERDICT item 3: funnel kl_ito --------------------------------------
+run 2400 funnel_dis_kl_ito target=funnel solver=dis loss.method=kl_ito $GRID_ARGS
+
+# --- gmm 3rd seed (dup-writer redo) --------------------------------------
+run 2400 gmm_dis_lv_seed3 target=gmm solver=dis seed=3 $GRID_ARGS
+
+# --- two-phase A/B checkpoint through the standard eval path -------------
+if [ -f logs/r3/funnel_dis_lv_twophase/ckpt/ckpt_final.pkl ] && \
+   [ ! -f logs/r3/funnel_dis_lv_twophase/REEVAL_DONE ] && \
+   [ "$WEDGED_AGAIN" -le 2 ] && [ $(( HARD_STOP - $(now) )) -gt 1200 ]; then
+  say "START twophase_reeval"
+  timeout 1500 python scripts/main.py target=funnel solver=dis $GRID_ARGS \
+    out_dir=logs/r3/funnel_dis_lv_twophase \
+    > logs/r3/funnel_dis_lv_twophase.reeval.log 2>&1 \
+    && touch logs/r3/funnel_dis_lv_twophase/REEVAL_DONE
+  say "DONE twophase_reeval rc=$?"
+fi
+
+# --- VERDICT item 3 (rest): dw/mw kl_ito (dw evals ~24 min!) --------------
+run 3000 dw_shift_dis_kl_ito target=dw_shift solver=dis loss.method=kl_ito $GRID_ARGS
+run 3000 mw_dis_kl_ito       target=mw       solver=dis loss.method=kl_ito $GRID_ARGS
+
+# --- lv_traj columns (stretch) --------------------------------------------
+run 2400 funnel_dis_lv_traj target=funnel solver=dis loss.method=lv_traj \
+  loss.traj_per_sample=8 train_batch_size=256 $GRID_ARGS
+run 2400 mw_50d_dis target=mw_50d solver=dis $GRID_ARGS
+
+touch logs/r3/QUEUE_E_DONE
+say "ALL DONE"
