@@ -45,6 +45,9 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 
 BASELINE_A100_TORCH = 2.7e6  # EM steps x batch / sec (estimate, see above)
 
+
+from sde_sampler_tpu.utils.device import relay_dead as _relay_dead  # noqa: E402
+
 # bf16 MXU peak per chip (dense). v5e (v5litepod): 197 TFLOP/s bf16.
 PEAK_FLOPS_BF16 = {
     "TPU v5e": 197e12,
@@ -159,6 +162,19 @@ def main():
         "path",
     )
     args = parser.parse_args()
+
+    if _relay_dead():
+        print(json.dumps({
+            "metric": "em_traj_throughput",
+            "value": None,
+            "unit": "EM steps x batch / sec / chip",
+            "vs_baseline": None,
+            "error": "TPU relay tunnel is down (nothing listening on "
+                     "127.0.0.1:8082) — cannot reach the chip; last good "
+                     "measurement: BENCH_r02.json / RESULTS.md round-3 "
+                     "throughput table (5.94e7 via logs/r3/perf_ablate*)",
+        }))
+        raise SystemExit(3)
 
     import jax
 

@@ -18,19 +18,25 @@ cd "$(dirname "$0")/.."
 mkdir -p logs/r3
 
 HARD_STOP=$(date -ud '2026-08-18 00:45' +%s)
-PROBE_START=$(date -ud '2026-08-17 22:15' +%s)
 
 now() { date -u +%s; }
 say() { echo "[r3e] $* $(date -u +%H:%M:%S)"; }
 
-# Wait out the quiet window.
-while [ "$(now)" -lt "$PROBE_START" ]; do sleep 20; done
+# 22:28 UTC finding: the "wedge" is a DEAD RELAY — /root/.tpu_init.py is
+# not running and nothing listens on the axon loopback ports (ss -tln),
+# so every jax process spins retrying connect() forever. A TCP connect
+# check is therefore a free, chip-quiet gate: poll it often and only
+# launch a jax probe once the driver infra has respawned the relay.
+relay_up() {
+  timeout 2 bash -c 'exec 3<>/dev/tcp/127.0.0.1/8082' 2>/dev/null
+}
 
 probe_until_healthy() {
   local n=0
   while [ $(( HARD_STOP - $(now) )) -gt 900 ]; do
+    if ! relay_up; then sleep 120; continue; fi
     n=$((n+1))
-    say "PROBE $n start"
+    say "relay port open — PROBE $n start"
     rm -rf logs/r3/probe_e
     timeout 360 python scripts/main.py target=funnel solver=dis \
       train_steps=50 train_batch_size=512 eval_batch_size=512 \
@@ -39,8 +45,9 @@ probe_until_healthy() {
     local rc=$?
     say "PROBE $n rc=$rc"
     if [ "$rc" -eq 0 ]; then return 0; fi
-    # still wedged: stay quiet 20 min before the next probe
-    sleep 1200
+    # port open but the probe still failed: genuine chip-side trouble —
+    # stay quiet 15 min before the next probe
+    sleep 900
   done
   return 1
 }

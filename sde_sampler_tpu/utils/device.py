@@ -27,6 +27,29 @@ def ensure_cpu_backend():
         os.environ["JAX_PLATFORMS"] = platforms + ",cpu"
 
 
+def relay_dead(port: int = 8082) -> bool:
+    """True when the TPU is attached through the axon loopback relay and
+    the relay process is gone (nothing listening on its first port).
+
+    A dead relay makes the first device op spin in a connect()-retry loop
+    forever (observed 2026-08-17: a Pallas crash took the relay down and
+    every subsequent jax process hung until killed). Entry points that the
+    driver calls unattended (bench.py, __graft_entry__.entry) check this
+    and fail fast with a clear message instead of hanging.
+    """
+    if "axon" not in os.environ.get("JAX_PLATFORMS", ""):
+        return False
+    if not os.environ.get("PALLAS_AXON_POOL_IPS"):
+        return False  # not the loopback-relay attachment
+    import socket
+
+    try:
+        with socket.create_connection(("127.0.0.1", port), timeout=2):
+            return False
+    except OSError:
+        return True
+
+
 def host_device():
     """Context manager placing eager computation on the CPU backend."""
     import jax

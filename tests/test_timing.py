@@ -69,3 +69,37 @@ def test_eval_sample_time_through_sync(tmp_path, monkeypatch):
     results = solver.compute_results()
     assert spy.calls >= 1
     assert results is not None
+
+
+def test_relay_dead_detection(monkeypatch):
+    """relay_dead: free TCP liveness gate for the axon loopback tunnel.
+
+    A dead relay (nothing listening on the loopback port) must be detected
+    without launching jax — it is what turns a would-be infinite
+    connect-retry hang in bench.py/__graft_entry__ into a fast, clear
+    failure (2026-08-17 outage).
+    """
+    import socket
+
+    monkeypatch.setenv("JAX_PLATFORMS", "axon,cpu")
+    monkeypatch.setenv("PALLAS_AXON_POOL_IPS", "10.0.0.1")
+
+    # alive: a real listener on an ephemeral port
+    srv = socket.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+    try:
+        assert device_lib.relay_dead(port=port) is False
+    finally:
+        srv.close()
+
+    # dead: the same port after the listener is gone
+    assert device_lib.relay_dead(port=port) is True
+
+    # not the relay attachment at all -> never reported dead
+    monkeypatch.delenv("PALLAS_AXON_POOL_IPS")
+    assert device_lib.relay_dead(port=port) is False
+    monkeypatch.setenv("PALLAS_AXON_POOL_IPS", "10.0.0.1")
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    assert device_lib.relay_dead(port=port) is False
