@@ -1,0 +1,117 @@
+#!/bin/bash
+# Round-4 chip queue — everything paper-scale that the round-3 relay
+# outage blocked (prepared at the end of round 3; see CLAUDE.md round-3
+# learnings for the dead-relay diagnosis and probe protocol).
+#
+# Usage: bash bin/r4_queue.sh [HARD_STOP]   (HARD_STOP = 'YYYY-MM-DD HH:MM'
+# UTC when the chip must be idle for the driver's bench run; default
+# 11 h after launch). Safe to re-run: finished cells are skipped.
+set -u
+cd "$(dirname "$0")/.."
+mkdir -p logs/r4
+
+HARD_STOP=$(date -ud "${1:-$(date -ud '+11 hours' '+%Y-%m-%d %H:%M')}" +%s)
+
+now() { date -u +%s; }
+say() { echo "[r4] $* $(date -u +%H:%M:%S)"; }
+relay_up() { timeout 2 bash -c 'exec 3<>/dev/tcp/127.0.0.1/8082' 2>/dev/null; }
+
+probe_until_healthy() {
+  local n=0
+  while [ $(( HARD_STOP - $(now) )) -gt 900 ]; do
+    if ! relay_up; then sleep 120; continue; fi
+    n=$((n+1))
+    say "relay port open — PROBE $n start"
+    rm -rf logs/r4/probe
+    timeout 360 python scripts/main.py target=funnel solver=dis \
+      train_steps=50 train_batch_size=512 eval_batch_size=512 \
+      eval_init=False plot_results=False out_dir=logs/r4/probe \
+      > logs/r4/probe.log 2>&1
+    local rc=$?
+    say "PROBE $n rc=$rc"
+    [ "$rc" -eq 0 ] && return 0
+    sleep 900   # port open but probe failed: genuine chip trouble
+  done
+  return 1
+}
+
+WEDGED=0
+run() {
+  [ "$WEDGED" -gt 2 ] && return
+  local cap="$1"; shift
+  local name="$1"; shift
+  if [ -f "logs/r4/$name/metrics.jsonl" ] || \
+     [ -f "logs/r3/$name/metrics.jsonl" ]; then
+    say "SKIP $name (exists)"; return
+  fi
+  local remaining=$(( HARD_STOP - $(now) ))
+  if [ "$remaining" -lt 900 ]; then say "HARD STOP — skip $name"; return; fi
+  [ "$cap" -lt "$remaining" ] && remaining=$cap
+  say "START $name (budget ${remaining}s): $*"
+  timeout "$remaining" python scripts/main.py "$@" \
+    out_dir="logs/r4/$name" > "logs/r4/$name.log" 2>&1
+  local rc=$?
+  say "DONE $name rc=$rc"
+  if [ "$rc" -eq 124 ]; then
+    WEDGED=$((WEDGED+1))
+    say "rc=124 — re-entering probe mode (count $WEDGED)"
+    sleep 600
+    probe_until_healthy || return
+  fi
+}
+
+probe_until_healthy || { say "never healthy — abandoned"; exit 1; }
+say "CHIP HEALTHY — starting cells"
+
+GRID_ARGS="eval_init=False eval_interval=60000"
+
+# --- VERDICT-r2 item 2: solver-family tail at paper scale ----------------
+run 2400 gmm_bridge_lv    target=gmm solver=bridge      $GRID_ARGS
+run 2400 gmm_dis_subtraj  target=gmm solver=dis_subtraj $GRID_ARGS
+run 2400 gmm_dds_euler    target=gmm solver=dds_euler   $GRID_ARGS
+
+# --- kl_ito estimator column ---------------------------------------------
+run 2400 funnel_dis_kl_ito   target=funnel   solver=dis loss.method=kl_ito $GRID_ARGS
+run 3000 dw_shift_dis_kl_ito target=dw_shift solver=dis loss.method=kl_ito $GRID_ARGS
+run 3000 mw_dis_kl_ito       target=mw       solver=dis loss.method=kl_ito $GRID_ARGS
+
+# --- gmm 3rd seed (dup-writer redo) + two-phase A/B re-eval ---------------
+run 2400 gmm_dis_lv_seed3 target=gmm solver=dis seed=3 $GRID_ARGS
+if [ -f logs/r3/funnel_dis_lv_twophase/ckpt/ckpt_final.pkl ] && \
+   [ ! -f logs/r3/funnel_dis_lv_twophase/REEVAL_DONE ]; then
+  say "START twophase_reeval"
+  timeout 1500 python scripts/main.py target=funnel solver=dis $GRID_ARGS \
+    out_dir=logs/r3/funnel_dis_lv_twophase \
+    > logs/r3/funnel_dis_lv_twophase.reeval.log 2>&1 \
+    && touch logs/r3/funnel_dis_lv_twophase/REEVAL_DONE
+  say "DONE twophase_reeval rc=$?"
+fi
+
+# --- Cox from the standard pipeline (800-step eval default; ~2h) ----------
+run 9000 cox_whitened_60k target=cox +target.use_whitened=True solver=dis \
+  train_steps=60000 train_batch_size=1024 eval_batch_size=100000 \
+  eval_init=False eval_interval=20000
+
+# --- nice_smooth 196-d cell (~2.5h: score-guided control on the flow) -----
+if [ -f logs/r3/NICE_SMOOTH_VALIDATED ]; then
+  run 10800 nice_smooth_dis_lv target=nice_smooth solver=dis \
+    eval_init=False eval_interval=20000
+fi
+
+# --- lv_traj columns -------------------------------------------------------
+run 2400 funnel_dis_lv_traj target=funnel solver=dis loss.method=lv_traj \
+  loss.traj_per_sample=8 train_batch_size=256 $GRID_ARGS
+run 3000 dw_shift_dis_lv_traj target=dw_shift solver=dis loss.method=lv_traj \
+  loss.traj_per_sample=8 train_batch_size=256 $GRID_ARGS
+run 3000 mw_dis_lv_traj target=mw solver=dis loss.method=lv_traj \
+  loss.traj_per_sample=8 train_batch_size=256 $GRID_ARGS
+
+# --- stragglers (VERDICT-r2 item 8) ----------------------------------------
+run 2400 mw_50d_dis target=mw_50d solver=dis $GRID_ARGS
+run 3600 rosenbrock_dis_60k target=rosenbrock solver=dis $GRID_ARGS
+run 2400 rings_dis_lv target=rings solver=dis $GRID_ARGS
+run 2400 img_dis_lv target=img solver=dis train_steps=10000 \
+  eval_init=False eval_interval=10000
+
+touch logs/r4/QUEUE_DONE
+say "ALL DONE"
