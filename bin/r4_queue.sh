@@ -65,6 +65,13 @@ say "CHIP HEALTHY — starting cells"
 
 GRID_ARGS="eval_init=False eval_interval=60000"
 
+# --- production wall-clock probe of the fast path at current defaults ----
+# (RESULTS.md round-3 throughput section references this run)
+run 1800 funnel_fast_prod_probe target=funnel solver=dis \
+  +loss.two_phase=True +loss.noise_pregen=True +loss.scan_unroll=8 \
+  train_steps=3000 eval_batch_size=2000 eval_init=False \
+  eval_interval=3000 plot_results=False
+
 # --- VERDICT-r2 item 2: solver-family tail at paper scale ----------------
 run 2400 gmm_bridge_lv    target=gmm solver=bridge      $GRID_ARGS
 run 2400 gmm_dis_subtraj  target=gmm solver=dis_subtraj $GRID_ARGS
