@@ -45,11 +45,15 @@ def fmt(v):
 # `*.corrupt-dupwriter`, `*.killed-*`).
 EXCLUDE_PREFIXES = (
     "smoke", "quick_", "cox", "funnel_fast_prod_probe", "nice_smooth_cpu",
+    "probe",  # chip-liveness probes (queue E / r4 queue)
 )
 
 
 def _excluded(name: str) -> bool:
-    return name.startswith(EXCLUDE_PREFIXES) or "." in name
+    # *_cpu_trend: scaled-down CPU runs (relay-outage insurance), never
+    # comparable to the paper-scale chip cells.
+    return (name.startswith(EXCLUDE_PREFIXES) or "." in name
+            or name.endswith("_cpu_trend"))
 
 
 def table(*roots: str) -> str:
