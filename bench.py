@@ -163,7 +163,13 @@ def main():
     )
     args = parser.parse_args()
 
-    if _relay_dead():
+    # A dead relay makes any axon-backend device op hang forever. The
+    # single-device bench needs the chip -> fail fast with an honest error
+    # line. The n_devices>1 CPU-virtual scaling path never needs it -> skip
+    # the jax.devices() query (it would hang too) and go straight to the
+    # clean re-exec.
+    dead = _relay_dead()
+    if dead and args.n_devices == 1:
         print(json.dumps({
             "metric": "em_traj_throughput",
             "value": None,
@@ -176,9 +182,17 @@ def main():
         }))
         raise SystemExit(3)
 
-    import jax
+    if args.n_devices > 1:
+        if dead:
+            too_few = True
+        else:
+            import jax
 
-    if args.n_devices > 1 and len(jax.devices()) < args.n_devices:
+            too_few = len(jax.devices()) < args.n_devices
+    else:
+        too_few = False
+
+    if too_few:
         # Not enough real chips: re-exec on a CPU-virtual mesh (the axon
         # sitecustomize locks the device count at startup, so a clean
         # subprocess is required — same pattern as __graft_entry__.py).
