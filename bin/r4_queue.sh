@@ -10,6 +10,13 @@ set -u
 cd "$(dirname "$0")/.."
 mkdir -p logs/r4
 
+# Single-instance lock: a sleeper instance may already have been launched
+# at the end of round 3 (see CLAUDE.md). Check `cat logs/r4_queue.pid` /
+# `ps` before assuming the queue is not running.
+exec 9>logs/r4_queue.lock
+flock -n 9 || { echo "[r4] another instance holds logs/r4_queue.lock"; exit 1; }
+echo $$ > logs/r4_queue.pid
+
 HARD_STOP=$(date -ud "${1:-$(date -ud '+11 hours' '+%Y-%m-%d %H:%M')}" +%s)
 
 now() { date -u +%s; }
