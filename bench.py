@@ -210,6 +210,8 @@ def main():
                "--iters", str(args.iters), "--batch", str(args.batch),
                "--em-steps", str(args.em_steps),
                "--steps-per-call", str(args.steps_per_call)]
+        if args.no_fast:
+            cmd.append("--no-fast")
         raise SystemExit(subprocess.run(cmd, env=env).returncode)
 
     batch = args.batch

@@ -70,7 +70,28 @@ run() {
 probe_until_healthy || { say "never healthy — abandoned"; exit 1; }
 say "CHIP HEALTHY — starting cells"
 
+# --- bench sanity first (~3 min): confirm the driver-facing number is
+# capturable before spending the chip budget on cells (VERDICT r3 #2) ----
+if [ ! -f logs/r4/BENCH_SANITY.json ]; then
+  timeout 900 python bench.py > logs/r4/BENCH_SANITY.json 2> logs/r4/bench_sanity.log
+  say "bench sanity rc=$? $(tail -1 logs/r4/BENCH_SANITY.json 2>/dev/null | head -c 200)"
+fi
+
 GRID_ARGS="eval_init=False eval_interval=60000"
+
+# --- eval-only re-runs under the finite-filtered LB convention (VERDICT
+# r3 #8): same out_dir + same train_steps => setup() restores the final
+# ckpt and run() goes straight to evaluate() ------------------------------
+reeval() {
+  local dir="$1"; shift
+  if [ -f "$dir/ckpt/ckpt_final.pkl" ] && [ ! -f "$dir/REEVAL_DONE" ]; then
+    say "START reeval $dir"
+    timeout 1800 python scripts/main.py "$@" out_dir="$dir" \
+      > "$dir.reeval.log" 2>&1 && touch "$dir/REEVAL_DONE"
+    say "DONE reeval $dir rc=$?"
+  fi
+}
+reeval logs/r3/funnel_dis_lv_seed3 target=funnel solver=dis seed=3 $GRID_ARGS
 
 # --- production wall-clock probe of the fast path at current defaults ----
 # (RESULTS.md round-3 throughput section references this run)
@@ -126,6 +147,44 @@ run 3600 rosenbrock_dis_60k target=rosenbrock solver=dis $GRID_ARGS
 run 2400 rings_dis_lv target=rings solver=dis $GRID_ARGS
 run 2400 img_dis_lv target=img solver=dis train_steps=10000 \
   eval_init=False eval_interval=10000
+
+# --- JAX-native AlaDip smoke (VERDICT r4 #6; gated on CPU validation) -------
+if [ -f logs/ALADIP_READY ]; then
+  run 2400 aladip_dis_smoke target=aladip solver=dis train_steps=2000 \
+    train_batch_size=512 eval_batch_size=4096 eval_init=False \
+    eval_interval=2000
+fi
+
+# --- phase-2 compile root-cause data (VERDICT r4 #5) -------------------------
+if [ -f scripts/profile_phase2_compile.py ] && \
+   [ ! -f logs/r4/phase2_compile.json ]; then
+  say "START phase2 compile profile"
+  timeout 1800 python scripts/profile_phase2_compile.py \
+    > logs/r4/phase2_compile.json 2> logs/r4/phase2_compile.log
+  say "DONE phase2 compile profile rc=$?"
+fi
+
+# --- d=1 Pallas Sinkhorn zero-padding probes (VERDICT r4 #7) ----------------
+# Run LAST: the padded launch shapes are identical to the d=2 stages that
+# already passed on this chip (padding happens before pallas_call), so
+# risk is low — but the round-3 d=1 incident killed the RELAY, so keep
+# any residual risk away from the cells and leave >1h of margin before
+# the driver's round-end bench. Quick-abort: a failed stage stops the
+# sequence; NEVER loop-retry.
+if [ ! -f logs/r4/PALLAS_D1_OK ] && \
+   [ $(( HARD_STOP - $(now) )) -gt 2400 ]; then
+  d1_ok=1
+  for stage in single_d1 grid_d1 bench_d1; do
+    say "d1 probe stage=$stage"
+    timeout 600 python scripts/pallas_probe.py "$stage" \
+      >> logs/r4/pallas_d1_probe.log 2>&1
+    rc=$?
+    say "d1 probe stage=$stage rc=$rc"
+    if [ $rc -ne 0 ]; then d1_ok=0; break; fi
+  done
+  [ $d1_ok -eq 1 ] && touch logs/r4/PALLAS_D1_OK && \
+    say "ALL d1 stages OK — flip sinkhorn_pallas.D1_HARDWARE_VALIDATED"
+fi
 
 touch logs/r4/QUEUE_DONE
 say "ALL DONE"

@@ -29,12 +29,51 @@ def last_eval_line(path: Path) -> dict | None:
     return best
 
 
-def fmt(v):
+def fmt(v, suffix: str = ""):
     if v is None:
         return "—"
     if abs(v) >= 100 or (abs(v) < 0.001 and v != 0):
-        return f"{v:.2e}"
-    return f"{v:.4f}"
+        return f"{v:.2e}{suffix}"
+    return f"{v:.4f}{suffix}"
+
+
+# Known log-normalization constants, used ONLY to recover the
+# finite-filtered LB error for runs recorded before the finite variants
+# entered log_norm_const_preds (solver/oc.py) and thus lack an
+# error/log_norm_const_lb_ito_finite entry. Keyed by run-name prefix.
+TARGET_LOGZ = {"funnel": 0.0, "gmm": 0.0, "mw": 0.0, "rings": 0.0}
+
+
+def lb_ito_value(m: dict, name: str) -> tuple[float | None, bool]:
+    """LB-Ito error with the finite-filtered fallback convention.
+
+    Primary: error/log_norm_const_lb_ito (unfiltered mean — reference
+    parity, /root/reference/sde_sampler/losses/oc.py:109). When that is
+    non-finite (>=1 diverged trajectory out of ~100k makes the mean -inf),
+    publish the finite-filtered error instead, marked `*` and footnoted
+    (n_nonfinite_rnd is logged alongside in metrics.jsonl). Returns
+    (value, used_fallback).
+    """
+    import math
+
+    v = m.get("error/log_norm_const_lb_ito")
+    if v is None or math.isfinite(v):
+        return v, False
+    fin = m.get("error/log_norm_const_lb_ito_finite")
+    if fin is None:
+        pred = m.get("eval/log_norm_const_lb_ito_finite")
+        true = next(
+            (z for prefix, z in TARGET_LOGZ.items()
+             if name.startswith(prefix)), None,
+        )
+        if pred is not None and true is not None:
+            fin = abs(pred - true)
+    return (fin, True) if fin is not None else (v, False)
+
+
+def lb_ito_cell(m: dict, name: str) -> str:
+    v, fallback = lb_ito_value(m, name)
+    return fmt(v, suffix="\\*" if fallback else "")
 
 
 # Runs that are not paper-scale grid cells (chip-liveness smoke, the
@@ -71,9 +110,25 @@ def table(*roots: str) -> str:
     rows = sorted(rows.items())
     lines = ["| Run | " + " | ".join(label for _, label in KEYS) + " |"]
     lines.append("|" + "---|" * (len(KEYS) + 1))
+    starred = False
     for name, m in rows:
-        cells = " | ".join(fmt(m.get(k)) for k, _ in KEYS)
-        lines.append(f"| {name} | {cells} |")
+        cells = []
+        for k, _ in KEYS:
+            if k == "error/log_norm_const_lb_ito":
+                cell = lb_ito_cell(m, name)
+                starred |= cell.endswith("\\*")
+            else:
+                cell = fmt(m.get(k))
+            cells.append(cell)
+        lines.append(f"| {name} | " + " | ".join(cells) + " |")
+    if starred:
+        lines.append("")
+        lines.append(
+            "\\* finite-filtered LB-Itô (the unfiltered reference-parity "
+            "mean is −inf: ≥1 of ~100k eval trajectories diverged; count "
+            "in `eval/n_nonfinite_rnd`). Identical to the unfiltered mean "
+            "whenever no trajectory diverges."
+        )
     return "\n".join(lines)
 
 
@@ -110,13 +165,22 @@ def seed_table(*roots: str) -> str:
             continue
         cells = []
         for k, _ in KEYS:
-            vals = [m[k] for m in by_seed.values() if k in m]
-            vals = [v for v in vals if np.isfinite(v)]
+            if k == "error/log_norm_const_lb_ito":
+                # same fallback convention as the grid table: diverged-
+                # trajectory seeds contribute their finite-filtered error
+                pairs = [lb_ito_value(m, base) for m in by_seed.values()]
+                vals = [v for v, _ in pairs if v is not None
+                        and np.isfinite(v)]
+                star = "\\*" if any(fb for _, fb in pairs) else ""
+            else:
+                vals = [m[k] for m in by_seed.values() if k in m]
+                vals = [v for v in vals if np.isfinite(v)]
+                star = ""
             if not vals:
                 cells.append("—")
                 continue
             mean, std = float(np.mean(vals)), float(np.std(vals, ddof=1))
-            cells.append(f"{fmt(mean)} ± {fmt(std)}")
+            cells.append(f"{fmt(mean)} ± {fmt(std)}{star}")
         lines.append(f"| {base} ({len(by_seed)}) | " + " | ".join(cells) + " |")
     return "\n".join(lines)
 

@@ -8,6 +8,12 @@ wedges the tunneled TPU for 15-90 min (CLAUDE.md). Stages:
     2 grid     multi-block grid, medium shapes, compare vs the XLA path
     3 bench    100k x 100k softmin + full Sinkhorn timing vs the XLA path
 
+d=1 stages (single_d1 / grid_d1 / bench_d1) validate the zero-column
+padding path (ops/sinkhorn_pallas._grid_call): the raw d=1 kernel shape
+wedged the chip AND killed the relay on 2026-08-17, so the padded shape
+must pass all three stages on hardware before D1_HARDWARE_VALIDATED may
+be flipped (never flip first).
+
 Usage: python scripts/pallas_probe.py <stage>
 """
 from __future__ import annotations
@@ -37,17 +43,17 @@ def _data(n, m, d, seed=0):
 
 
 def _compare(n, m, d):
-    import jax
     import jax.numpy as jnp
 
     from sde_sampler_tpu.eval.sinkhorn import _softmin
     from sde_sampler_tpu.ops import sinkhorn_pallas as sp
+    from sde_sampler_tpu.utils.device import sync
 
     x, y, dual = _data(n, m, d)
     eps = 1e-2
     print(f"launching pallas softmin n={n} m={m} d={d} ...", flush=True)
     pal = sp.softmin_pallas(x, y, dual, eps)
-    jax.block_until_ready(pal)
+    sync(pal)  # real barrier (block_until_ready is a no-op on the relay)
     print("pallas done; launching XLA reference ...", flush=True)
     ref = _softmin(
         x, y, dual, eps, p=2,
@@ -67,14 +73,20 @@ def stage_grid():
     _compare(1024, 8192, 10)
 
 
-def stage_bench():
-    import jax
+def stage_single_d1():
+    _compare(256, 2048, 1)
 
+
+def stage_grid_d1():
+    _compare(1024, 8192, 1)
+
+
+def _bench(d: int):
     from sde_sampler_tpu.eval.sinkhorn import Sinkhorn, _softmin
     from sde_sampler_tpu.ops import sinkhorn_pallas as sp
+    from sde_sampler_tpu.utils.device import sync
 
     n = m = 100_000
-    d = 10
     x, y, dual = _data(n, m, d)
     eps = 1e-2
 
@@ -83,22 +95,42 @@ def stage_bench():
         ("xla", lambda: _softmin(x, y, dual, eps, p=2,
                                  row_chunk=1024, col_chunk=8192)),
     ]:
-        out = fn()
-        jax.block_until_ready(out)  # compile
+        sync(fn())  # compile; sync = real barrier (round-2 finding:
+        # block_until_ready returns before relay-queued programs finish)
         t0 = time.time()
         for _ in range(3):
             out = fn()
-        jax.block_until_ready(out)
-        print(f"softmin[{name}] {n}x{m}: {(time.time() - t0) / 3:.3f}s/iter")
+        sync(out)
+        print(f"softmin[{name}] {n}x{m} d={d}: "
+              f"{(time.time() - t0) / 3:.3f}s/iter")
 
+    vals = {}
     for backend in ("xla", "pallas"):
         sk = Sinkhorn(p=2, eps=1e-3, max_iters=20, backend=backend)
         t0 = time.time()
-        val = float(sk(x, y))
+        vals[backend] = float(sk(x, y))
         print(f"sinkhorn[{backend}] 20 iters: {time.time() - t0:.1f}s "
-              f"value={val:.4f}")
+              f"value={vals[backend]:.4f} "
+              f"(pallas routed: {sk._use_pallas(x, y)})")
+    rel = abs(vals["pallas"] - vals["xla"]) / max(abs(vals["xla"]), 1e-12)
+    assert rel < 1e-5, f"pallas/xla sinkhorn mismatch: {vals} (rel {rel:.2e})"
+
+
+def stage_bench():
+    _bench(10)
+
+
+def stage_bench_d1():
+    _bench(1)
 
 
 if __name__ == "__main__":
     stage = sys.argv[1] if len(sys.argv) > 1 else "single"
-    {"single": stage_single, "grid": stage_grid, "bench": stage_bench}[stage]()
+    {
+        "single": stage_single,
+        "grid": stage_grid,
+        "bench": stage_bench,
+        "single_d1": stage_single_d1,
+        "grid_d1": stage_grid_d1,
+        "bench_d1": stage_bench_d1,
+    }[stage]()

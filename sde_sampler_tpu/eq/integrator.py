@@ -176,6 +176,14 @@ class EulerIntegrator(Integrator):
             )
 
         if self.adjoint:
+            if bm is not None:
+                raise NotImplementedError(
+                    "adjoint=True builds its own VirtualBrownianTree from "
+                    "`key` and cannot consume a caller-supplied `bm`; "
+                    "silently ignoring it would give different noise than "
+                    "the non-adjoint path. Pass key= instead, or "
+                    "adjoint=False."
+                )
             # The Brownian tree needs CONCRETE span endpoints. Under jit the
             # internally-built `timesteps` is staged (tracer) even though it
             # came from host floats — fall back to the setup-time `ts` grid,

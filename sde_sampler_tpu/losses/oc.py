@@ -182,12 +182,21 @@ class BaseOCLoss:
         self.ctrl_params = None
         self.mesh_active = False
 
-    def _resolve_sim_backend(self, needs_step_keys: bool) -> str:
+    def _resolve_sim_backend(self, needs_step_keys: bool, dim: int) -> str:
         if (
             self.ctrl_apply is None
             or needs_step_keys
             or self.mesh_active
         ):
+            return "xla"
+        if dim < 2:
+            # Mirror sinkhorn_pallas.pallas_applicable: a d=1 target makes
+            # the control net's first layer a (B,1)x(1,width) MXU dot — the
+            # degenerate contracted-dim pattern that wedged the chip AND
+            # killed the relay on 2026-08-17. Never launch it, even when
+            # sim_backend="pallas" was requested explicitly; any future d=1
+            # kernel must go through the staged bin/pallas_probe.sh protocol
+            # first.
             return "xla"
         if self.sim_backend == "auto":
             return "xla"
@@ -492,7 +501,7 @@ class TimeReversalLoss(BaseOCLoss):
             )
         )
 
-        if self._resolve_sim_backend(needs_step_keys) == "pallas":
+        if self._resolve_sim_backend(needs_step_keys, x.shape[-1]) == "pallas":
             from sde_sampler_tpu.ops.rollout_pallas import (
                 fused_sim_rollout,
                 sde_step_fn,
@@ -711,7 +720,7 @@ class ReferenceSDELoss(BaseOCLoss):
             or self.sde_ctrl_dropout is not None
         )
 
-        if self._resolve_sim_backend(needs_step_keys) == "pallas":
+        if self._resolve_sim_backend(needs_step_keys, x.shape[-1]) == "pallas":
             from sde_sampler_tpu.ops.rollout_pallas import (
                 fused_sim_rollout,
                 sde_step_fn,
@@ -935,7 +944,7 @@ class ExponentialIntegratorSDELoss(BaseOCLoss):
             beta_k = jnp.clip(self.alpha * jnp.sqrt(t - s), 0.0, 1.0)
             return beta_k, jnp.sqrt(1.0 - beta_k**2)
 
-        if self._resolve_sim_backend(needs_step_keys) == "pallas":
+        if self._resolve_sim_backend(needs_step_keys, x.shape[-1]) == "pallas":
             from sde_sampler_tpu.ops.rollout_pallas import (
                 exp_integrator_step_fn,
                 fused_sim_rollout,

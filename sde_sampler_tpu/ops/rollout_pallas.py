@@ -15,8 +15,17 @@ pallas pipeline. No per-op dispatch between steps.
 Generic by construction: the caller passes a jnp-traceable
 `step_fn(params, s, t, x, db) -> x_next` (typically built from
 `module.apply` + the SDE update) which is traced INTO the kernel, and a
-params pytree that is shipped through VMEM refs. Anything Mosaic cannot
-compile falls back to the XLA scan path at the call site.
+params pytree that is shipped through VMEM refs.
+
+Routing/guards: this kernel is OPT-IN (`loss.sim_backend=pallas`) and
+only partially guarded. The loss call sites
+(losses/oc.py:_resolve_sim_backend) route to the XLA scan when a mesh is
+active, when the body needs per-step PRNG keys, or when d < 2 (the
+degenerate (B,1)x(1,w) MXU dot wedged the chip on 2026-08-17);
+`fused_sim_rollout` additionally raises on d < 2 and on a batch not
+divisible by the resolved tile. A Mosaic-unlowerable primitive in
+`step_fn` or a CPU backend without interpret=True still fails at compile
+time — there is NO automatic try/except fallback.
 
 Reference behavior being accelerated: the per-step torch loop in
 /root/reference/sde_sampler/losses/oc.py:156-230.
@@ -81,6 +90,16 @@ def fused_sim_rollout(
       ys output), shape (T, B, d); x_T is the terminal state (B, d).
     """
     batch, dim = x0.shape
+    if dim < 2:
+        raise ValueError(
+            "fused_sim_rollout requires d >= 2: a d=1 state makes the "
+            "first in-kernel matmul a degenerate (B,1)x(1,w) MXU dot — "
+            "the contracted-dim pattern that wedged the chip and killed "
+            "the relay on 2026-08-17 (see sinkhorn_pallas."
+            "pallas_applicable). Use the XLA scan for d=1; any future "
+            "d=1 kernel must pass the staged bin/pallas_probe.sh "
+            "protocol before a gridded hardware launch."
+        )
     n_steps = ts.shape[0] - 1
     block_b = _tile_rows(dim, batch, block_b)
     if batch % block_b != 0:

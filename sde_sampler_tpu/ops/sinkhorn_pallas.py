@@ -95,20 +95,35 @@ def _pad_to(arr, multiple, axis=0, fill=0.0):
     return jnp.pad(arr, widths, constant_values=fill)
 
 
+# Flip to True ONLY after the d=1 zero-padding path has passed the staged
+# hardware protocol (bin/pallas_probe.sh --d1: single-program, then gridded
+# parity, then bench) on a real chip. The first d=1 launch on hardware
+# (dw_shift 100k eval, round 3) wedged the chip AND killed the relay with
+# the classic Mosaic-hang signature — the host blocked indefinitely on the
+# kernel result; the degenerate (R, 1) x (1, C) contracted-dim MXU dot is
+# the suspected trigger (interpret-mode results are correct; the hang is
+# hardware-only). `_grid_call` now zero-pads d=1 inputs to d=2 (the
+# euclidean cost is invariant to a zero column), which removes the
+# degenerate dot — but per the round-3 protocol NO new kernel shape
+# launches on the shared chip without the staged probe first.
+D1_HARDWARE_VALIDATED = False
+
+
 def pallas_applicable(n: int, m: int, d: int, p: int) -> bool:
-    # d >= 2: the first d=1 launch on hardware (dw_shift 100k eval,
-    # round 3) wedged the chip with the classic Mosaic-hang signature —
-    # the host blocked indefinitely on the kernel result. The degenerate
-    # contracted dimension of the (R, 1) x (1, C) MXU dot is the suspected
-    # trigger (interpret-mode results are correct; the hang is
-    # hardware-only). d=1 targets take the chunked-XLA path instead,
-    # which is production-proven on the same eval (round-2 dw cells).
-    return p == 2 and 2 <= d <= MAX_LANE_D
+    d_min = 1 if D1_HARDWARE_VALIDATED else 2
+    return p == 2 and d_min <= d <= MAX_LANE_D
 
 
 def _grid_call(kernel, x, y, row_vecs, col_vecs, *, eps, interpret):
     """Shared 2-D-grid launch: row_vecs are (n,1)-blocked per row block,
     col_vecs are (1,COL_CHUNK)-blocked per col chunk."""
+    if x.shape[1] == 1:
+        # Zero-column padding to d=2: |x_i - y_j| is unchanged (the extra
+        # coordinate contributes 0 to the squared sum) and the in-kernel
+        # MXU dot gets a non-degenerate contracted dim — see the
+        # D1_HARDWARE_VALIDATED note above pallas_applicable.
+        x = jnp.concatenate([x, jnp.zeros_like(x)], axis=1)
+        y = jnp.concatenate([y, jnp.zeros_like(y)], axis=1)
     n, d = x.shape
     x_pad = _pad_to(x, ROW_BLOCK)
     y_pad = _pad_to(y, COL_CHUNK)

@@ -36,11 +36,18 @@ def relay_dead(port: int = 8082) -> bool:
     every subsequent jax process hung until killed). Entry points that the
     driver calls unattended (bench.py, __graft_entry__.entry) check this
     and fail fast with a clear message instead of hanging.
+
+    NOTE: a TCP connect is necessary but NOT sufficient — a half-open
+    listener (port accepts, far side gone) still passes. Unattended entry
+    points must ALSO gate the first device op behind `device_probe()`
+    (watchdog subprocess), the pattern bin/r4_queue.sh uses.
     """
     if "axon" not in os.environ.get("JAX_PLATFORMS", ""):
         return False
-    if not os.environ.get("PALLAS_AXON_POOL_IPS"):
-        return False  # not the loopback-relay attachment
+    pool = os.environ.get("PALLAS_AXON_POOL_IPS", "")
+    if pool and not pool.startswith("127."):
+        # Genuinely remote attachment: the local relay port is meaningless.
+        return False
     import socket
 
     try:
@@ -48,6 +55,41 @@ def relay_dead(port: int = 8082) -> bool:
             return False
     except OSError:
         return True
+
+
+def device_probe(timeout_s: float = 120.0, _probe_cmd=None) -> bool:
+    """True when the accelerator backend actually answers a device query.
+
+    `relay_dead()` only checks that the relay's TCP port accepts — a
+    half-open listener (port open, backend gone; the failure mode behind
+    MULTICHIP_r03's rc=124) still hangs the first device op forever. This
+    runs `jax.devices()` in a WATCHDOG SUBPROCESS with a hard timeout so a
+    hung backend costs `timeout_s` instead of the driver's whole budget.
+
+    The subprocess inherits the full env (incl. the axon sitecustomize on
+    PYTHONPATH) so it initializes exactly the backend the caller would.
+    """
+    if _probe_cmd is None and "axon" not in os.environ.get(
+        "JAX_PLATFORMS", ""
+    ):
+        return True  # plain CPU/local backend: nothing to probe
+    import subprocess
+    import sys
+
+    cmd = _probe_cmd or [
+        sys.executable, "-c",
+        "import jax; print('NDEV', len(jax.devices()))",
+    ]
+    try:
+        result = subprocess.run(
+            cmd,
+            timeout=timeout_s,
+            capture_output=True,
+            text=True,
+        )
+    except subprocess.TimeoutExpired:
+        return False
+    return result.returncode == 0 and "NDEV" in result.stdout
 
 
 def host_device():

@@ -363,3 +363,37 @@ def test_sinkhorn_d1_xla_path_matches_dense():
     dense = (plan * m).sum()
 
     assert float(chunked) == pytest.approx(float(dense), rel=1e-3)
+
+
+def test_pallas_d1_padding_matches_xla_interpret():
+    """The d=1 zero-column padding path (ops/sinkhorn_pallas._grid_call)
+    must reproduce the XLA softmin/transport exactly: |x-y| is invariant
+    to a zero coordinate. Hardware validation of the padded shape goes
+    through bin/pallas_probe.sh single_d1/grid_d1/bench_d1 before
+    D1_HARDWARE_VALIDATED may flip."""
+    import jax.numpy as jnp
+
+    from sde_sampler_tpu.eval.sinkhorn import _softmin, _transport_cost
+    from sde_sampler_tpu.ops import sinkhorn_pallas as sp
+
+    rng = np.random.default_rng(7)
+    n, m = 130, 300
+    x = jnp.asarray(rng.normal(size=(n, 1)), jnp.float32)
+    y = jnp.asarray(rng.normal(size=(m, 1)) + 0.3, jnp.float32)
+    dual = jnp.asarray(rng.normal(size=(m,)) * 0.01, jnp.float32)
+    u = jnp.asarray(rng.normal(size=(n,)) * 0.01, jnp.float32)
+    eps = 1e-2
+    ref = _softmin(x, y, dual, eps, p=2, row_chunk=64, col_chunk=128)
+    pal = sp.softmin_pallas(x, y, dual, eps, interpret=True)
+    # atol 1e-4: the kernel's quadratic-expansion distance
+    # (|x|^2+|y|^2-2xy) loses a few ulps to cancellation vs the XLA
+    # reference for near-coincident d=1 pairs; the probe gates hardware
+    # parity at 1e-3.
+    np.testing.assert_allclose(np.asarray(pal), np.asarray(ref), atol=1e-4)
+    ref_t = _transport_cost(x, y, u, dual, eps, p=2, row_chunk=64,
+                            col_chunk=128)
+    pal_t = sp.transport_cost_pallas(x, y, u, dual, eps, interpret=True)
+    np.testing.assert_allclose(float(pal_t), float(ref_t), rtol=1e-4)
+    # routing gate stays closed until the staged hardware probe passes
+    assert not sp.D1_HARDWARE_VALIDATED
+    assert not sp.pallas_applicable(n, m, 1, 2)

@@ -82,7 +82,7 @@ def test_relay_dead_detection(monkeypatch):
     import socket
 
     monkeypatch.setenv("JAX_PLATFORMS", "axon,cpu")
-    monkeypatch.setenv("PALLAS_AXON_POOL_IPS", "10.0.0.1")
+    monkeypatch.setenv("PALLAS_AXON_POOL_IPS", "127.0.0.1")
 
     # alive: a real listener on an ephemeral port
     srv = socket.socket()
@@ -97,9 +97,13 @@ def test_relay_dead_detection(monkeypatch):
     # dead: the same port after the listener is gone
     assert device_lib.relay_dead(port=port) is True
 
-    # not the relay attachment at all -> never reported dead
+    # unset pool IPs: STILL checked (VERDICT r3 weak #2 — the old
+    # silent-False here let entry points hang on a dead relay)
     monkeypatch.delenv("PALLAS_AXON_POOL_IPS")
-    assert device_lib.relay_dead(port=port) is False
+    assert device_lib.relay_dead(port=port) is True
+    # genuinely remote attachment -> the local port says nothing
     monkeypatch.setenv("PALLAS_AXON_POOL_IPS", "10.0.0.1")
+    assert device_lib.relay_dead(port=port) is False
+    monkeypatch.setenv("PALLAS_AXON_POOL_IPS", "127.0.0.1")
     monkeypatch.setenv("JAX_PLATFORMS", "cpu")
     assert device_lib.relay_dead(port=port) is False
