@@ -148,12 +148,10 @@ run 2400 rings_dis_lv target=rings solver=dis $GRID_ARGS
 run 2400 img_dis_lv target=img solver=dis train_steps=10000 \
   eval_init=False eval_interval=10000
 
-# --- JAX-native AlaDip smoke (VERDICT r4 #6; gated on CPU validation) -------
-if [ -f logs/ALADIP_READY ]; then
-  run 2400 aladip_dis_smoke target=aladip solver=dis train_steps=2000 \
-    train_batch_size=512 eval_batch_size=4096 eval_init=False \
-    eval_interval=2000
-fi
+# --- JAX-native AlaDip (VERDICT r4 #6; CPU-validated, tests green) ----------
+run 2400 aladip_vacuum_dis target=aladip_vacuum solver=dis \
+  train_steps=5000 train_batch_size=512 eval_batch_size=4096 \
+  eval_init=False eval_interval=5000
 
 # --- phase-2 compile root-cause data (VERDICT r4 #5) -------------------------
 if [ -f scripts/profile_phase2_compile.py ] && \
