@@ -1,0 +1,114 @@
+"""Generate a self-sampled evaluation set for the JAX-native AlaDip target.
+
+The reference ships MD-simulated validation data for alanine dipeptide
+(eval_data_path in /root/reference/sde_sampler/distr/aladip.py:202-210,
+loaded from a torch pickle that is not in this image). This script
+produces the equivalent reference set natively: long unadjusted Langevin
+(ULA) chains on the JAX vacuum Boltzmann density in the normalized
+internal-coordinate space (which the transform whitens, so a single step
+size is well-conditioned across bonds/angles/dihedrals), with burn-in,
+thinning, and L-form chirality filtering.
+
+Caveat recorded with the data: ULA has O(dt) bias and phi/psi barrier
+crossings at 300 K are rare, so this is a *self-consistent* reference for
+Sinkhorn/marginal comparisons against the same energy — not ground-truth
+MD. dt and chain counts chosen so the bonded marginals equilibrate and
+multiple Ramachandran basins are populated from dispersed inits.
+
+Usage: python scripts/gen_aladip_eval.py [--chains 4096] [--steps 20000]
+       [--dt 0.01] [--out data/aladip_eval.npy]
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+REPO_ROOT = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO_ROOT))
+
+from sde_sampler_tpu.utils.device import ensure_cpu_backend  # noqa: E402
+
+ensure_cpu_backend()
+
+import numpy as np  # noqa: E402
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--chains", type=int, default=4096)
+    parser.add_argument("--steps", type=int, default=20000)
+    parser.add_argument("--dt", type=float, default=0.01)
+    parser.add_argument("--burn-frac", type=float, default=0.5)
+    parser.add_argument("--thin", type=int, default=200)
+    parser.add_argument("--init-scale", type=float, default=0.6)
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument(
+        "--out", type=Path, default=REPO_ROOT / "data" / "aladip_eval.npy"
+    )
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from sde_sampler_tpu.distr.aladip import AlaDip, filter_chirality
+
+    target = AlaDip(backend="jax", env="vacuum", temperature=300)
+    score = jax.jit(target.score)
+
+    key = jax.random.PRNGKey(args.seed)
+    k_init, k_noise = jax.random.split(key)
+    x = jax.random.normal(k_init, (args.chains, 60)) * args.init_scale
+
+    dt = args.dt
+    n_steps = args.steps
+    burn = int(n_steps * args.burn_frac)
+    keep_every = args.thin
+
+    @jax.jit
+    def chunk(x, key, n=100):
+        def body(carry, k):
+            x = carry
+            g = jnp.clip(score(x), -1e3, 1e3)
+            x = x + dt * g + jnp.sqrt(2.0 * dt) * jax.random.normal(
+                k, x.shape
+            )
+            return x, None
+
+        keys = jax.random.split(key, n)
+        x, _ = jax.lax.scan(body, x, keys)
+        return x
+
+    kept = []
+    t0 = time.time()
+    for i in range(n_steps // 100):
+        k_noise, k = jax.random.split(k_noise)
+        x = chunk(x, k)
+        step = (i + 1) * 100
+        if step > burn and step % keep_every == 0:
+            kept.append(np.asarray(x))
+        if step % 2000 == 0:
+            lp = float(target.unnorm_log_prob(x[:64]).mean())
+            print(
+                f"step {step}/{n_steps} mean logp {lp:.1f} "
+                f"({time.time() - t0:.0f}s)",
+                flush=True,
+            )
+
+    samples = np.concatenate(kept, axis=0)
+    mask = np.asarray(filter_chirality(jnp.asarray(samples)))[:, 0]
+    l_frac = float(mask.mean())
+    samples = samples[mask]
+    phi, psi = target.phi_psi(jnp.asarray(samples[:50000]))
+    print(
+        f"kept {len(samples)} L-form samples (L fraction {l_frac:.3f}); "
+        f"phi range [{float(phi.min()):.2f}, {float(phi.max()):.2f}]"
+    )
+    args.out.parent.mkdir(parents=True, exist_ok=True)
+    np.save(args.out, samples.astype(np.float32))
+    print(f"wrote {args.out} shape {samples.shape}")
+
+
+if __name__ == "__main__":
+    main()
