@@ -169,14 +169,27 @@ def main():
     # the jax.devices() query (it would hang too) and go straight to the
     # clean re-exec.
     dead = _relay_dead()
-    if dead and args.n_devices == 1:
+    half_open = False
+    if not dead and args.n_devices == 1:
+        # A half-open relay (port accepts, backend gone — MULTICHIP_r03's
+        # failure mode) passes the TCP check but hangs the first device
+        # op; probe it in a watchdog subprocess before committing.
+        from sde_sampler_tpu.utils.device import device_probe
+
+        half_open = not device_probe(timeout_s=150)
+    if (dead or half_open) and args.n_devices == 1:
+        why = (
+            "TPU relay tunnel is down (nothing listening on "
+            "127.0.0.1:8082)" if dead else
+            "TPU relay port accepts TCP but the backend never answered a "
+            "jax.devices() probe within 150s (half-open relay)"
+        )
         print(json.dumps({
             "metric": "em_traj_throughput",
             "value": None,
             "unit": "EM steps x batch / sec / chip",
             "vs_baseline": None,
-            "error": "TPU relay tunnel is down (nothing listening on "
-                     "127.0.0.1:8082) — cannot reach the chip; last good "
+            "error": why + " — cannot reach the chip; last good "
                      "measurement: BENCH_r02.json / RESULTS.md round-3 "
                      "throughput table (5.94e7 via logs/r3/perf_ablate*)",
         }))

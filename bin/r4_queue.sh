@@ -149,6 +149,14 @@ run 2400 img_dis_lv target=img solver=dis train_steps=10000 \
   eval_init=False eval_interval=10000
 
 # --- JAX-native AlaDip (VERDICT r4 #6; CPU-validated, tests green) ----------
+# Reference eval set first (ULA on the chip, ~minutes; plain XLA, no
+# pallas): gives the training cell Sinkhorn/marginal error columns.
+if [ ! -f data/aladip_eval.npy ]; then
+  say "START gen_aladip_eval"
+  timeout 1800 python scripts/gen_aladip_eval.py \
+    > logs/r4/gen_aladip_eval.log 2>&1
+  say "DONE gen_aladip_eval rc=$?"
+fi
 run 2400 aladip_vacuum_dis target=aladip_vacuum solver=dis \
   train_steps=5000 train_batch_size=512 eval_batch_size=4096 \
   eval_init=False eval_interval=5000

@@ -58,8 +58,21 @@ def main():
     score = jax.jit(target.score)
 
     key = jax.random.PRNGKey(args.seed)
-    k_init, k_noise = jax.random.split(key)
+    k_init, k_dih, k_noise = jax.random.split(key, 3)
+    # bonds/angles: near the anchor (their marginals are unimodal);
+    # dihedrals: UNIFORM over the circle so chains start in every
+    # Ramachandran basin and relax locally — without this, phi/psi barrier
+    # crossings at 300 K are too rare for 20k ULA steps to populate more
+    # than the anchor basin. Normalized dihedral units are rad / std
+    # (default_std dih = 0.2).
+    import numpy as np_mod
+
     x = jax.random.normal(k_init, (args.chains, 60)) * args.init_scale
+    kinds = target._tf.kinds  # 0=bond 1=angle 2=dihedral
+    dih = jax.random.uniform(
+        k_dih, (args.chains, 60), minval=-np_mod.pi, maxval=np_mod.pi
+    ) / jnp.asarray(target._tf.std)
+    x = jnp.where(jnp.asarray(kinds == 2), dih, x)
 
     dt = args.dt
     n_steps = args.steps
@@ -70,7 +83,9 @@ def main():
     def chunk(x, key, n=100):
         def body(carry, k):
             x = carry
-            g = jnp.clip(score(x), -1e3, 1e3)
+            # steric-clash inits can give inf energy -> nan score; zero it
+            # so the noise term walks the chain out of the singularity
+            g = jnp.nan_to_num(jnp.clip(score(x), -1e3, 1e3))
             x = x + dt * g + jnp.sqrt(2.0 * dt) * jax.random.normal(
                 k, x.shape
             )
@@ -78,7 +93,11 @@ def main():
 
         keys = jax.random.split(key, n)
         x, _ = jax.lax.scan(body, x, keys)
-        return x
+        # reset any chain that still diverged to a fresh near-anchor state
+        k_reset = jax.random.fold_in(key, 7)
+        fresh = jax.random.normal(k_reset, x.shape) * 0.3
+        ok = jnp.isfinite(x).all(axis=-1, keepdims=True)
+        return jnp.where(ok, x, fresh)
 
     kept = []
     t0 = time.time()

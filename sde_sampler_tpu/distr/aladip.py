@@ -354,13 +354,34 @@ class AlaDip(Distribution):
         self.eval_data = None
         if eval_data_path is not None and Path(eval_data_path).exists():
             self.eval_data = np.load(eval_data_path)
+            eval_arr = jnp.asarray(self.eval_data)
+
+            # Reference-set resampler: lets the generic eval pipeline
+            # (metrics.compute sample_losses, Sinkhorn vs ground truth)
+            # treat AlaDip like any sampleable target. Draws with
+            # replacement from the ULA validation set
+            # (scripts/gen_aladip_eval.py).
+            def sample(key, shape):
+                idx = jax.random.randint(
+                    key, shape[:1], 0, eval_arr.shape[0]
+                )
+                return eval_arr[idx]
+
+            self.sample = sample
+
+        # kJ/mol per squared raw-unit domain violation: steep enough that
+        # out-of-domain states (negative bonds, angles past pi) are
+        # heavily suppressed, smooth enough that the score points back
+        # into the domain (no nan/inf anywhere on R^60).
+        penalty_k = 1.0e5
 
         def log_prob_fn(z):
-            pos, logdet = self._tf.forward(z)
+            pos, logdet, violation = self._tf.forward_with_penalty(z)
             e = aladip_ff.regularize_energy(
                 aladip_ff.energy_kj(pos), self._energy_cut,
                 self._energy_max,
             )
+            e = e + penalty_k * violation
             return (-self._beta * e + logdet)[..., None]
 
         self._log_prob_fn = log_prob_fn

@@ -183,6 +183,27 @@ def coordinate_kinds() -> np.ndarray:
     return np.array(kinds, np.int64)
 
 
+# Domain guards: internal coordinates live on (0, inf) x (0, pi) x circle,
+# but the sampler explores all of R^60 (an untrained control's rollout WILL
+# produce negative bonds / angles past pi, where log r and log sin(theta)
+# are undefined). The geometry is built from clamped values and the
+# squared violation is returned so the Boltzmann density can decay
+# smoothly outside the domain with a well-defined score pointing back in.
+R_MIN = 0.03          # nm; real bonds are ~0.10-0.15 nm
+ANG_EPS = 0.05        # rad
+
+
+def clamp_internals(z: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(..., 60) raw internals -> (clamped internals, (...,) sq violation)."""
+    kinds = jnp.asarray(coordinate_kinds())
+    lo = jnp.where(kinds == 0, R_MIN,
+                   jnp.where(kinds == 1, ANG_EPS, -jnp.inf))
+    hi = jnp.where(kinds == 1, math.pi - ANG_EPS, jnp.inf)
+    z_safe = jnp.clip(z, lo, hi)
+    violation = ((z - z_safe) ** 2).sum(axis=-1)
+    return z_safe, violation
+
+
 class AlaDipTransform:
     """Normalized sampler space <-> Cartesian nm, anchored on a reference
     structure (data/position_min_energy.npy in practice)."""
@@ -208,10 +229,18 @@ class AlaDipTransform:
 
     def forward(self, z_norm: jnp.ndarray):
         """(..., 60) normalized -> ((..., 22, 3) nm, (...,) logdet incl.
-        the denormalization term)."""
+        the denormalization term). Geometry built from domain-clamped
+        internals (see clamp_internals); use forward_with_penalty when the
+        caller needs the out-of-domain violation (Boltzmann log-probs)."""
+        pos, logdet, _ = self.forward_with_penalty(z_norm)
+        return pos, logdet
+
+    def forward_with_penalty(self, z_norm: jnp.ndarray):
+        """forward + the squared domain violation (raw units)."""
         z = z_norm * jnp.asarray(self.std) + jnp.asarray(self.mean)
-        pos, logdet = internal_to_cartesian(z)
-        return pos, logdet + self.logdet_norm
+        z_safe, violation = clamp_internals(z)
+        pos, logdet = internal_to_cartesian(z_safe)
+        return pos, logdet + self.logdet_norm, violation
 
     def inverse(self, pos: jnp.ndarray) -> jnp.ndarray:
         """(..., 22, 3) nm -> (..., 60) normalized; dihedrals wrapped to

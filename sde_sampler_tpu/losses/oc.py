@@ -103,6 +103,17 @@ class RolloutResult(NamedTuple):
     xs: jnp.ndarray | None        # (T+1, B', d) trajectory (optional)
 
 
+# Production default for the two-phase fast path (two_phase +
+# noise_pregen + scan_unroll=8) on detached-control methods (lv/lv_traj).
+# A/B-validated at 60k paper-scale steps in round 3 (RESULTS.md: IS err
+# 0.0268 vs 0.0257, ESS 0.2275 vs 0.2328); flip to True once the queued
+# standard-path re-eval of the two-phase checkpoint (REEVAL_DONE,
+# bin/r4_queue.sh) confirms the A/B per VERDICT r3 next #4. Explicit
+# config values always override; kl/kl_ito are never affected (the
+# trajectory is differentiated through the drift there).
+FAST_PATH_DEFAULT = False
+
+
 class BaseOCLoss:
     """Shared loss plumbing: filtering, reductions, eval statistics."""
 
@@ -117,9 +128,9 @@ class BaseOCLoss:
         sde_ctrl_dropout: float | None = None,
         sde_ctrl_noise: float | None = None,
         remat: bool = True,
-        scan_unroll: int = 1,
-        noise_pregen: bool = False,
-        two_phase: bool = False,
+        scan_unroll: int | None = None,
+        noise_pregen: bool | None = None,
+        two_phase: bool | None = None,
         sim_backend: str = "auto",
         **kwargs,
     ):
@@ -136,17 +147,16 @@ class BaseOCLoss:
         self.sde_ctrl_noise = sde_ctrl_noise
         self.sde_ctrl_dropout = sde_ctrl_dropout
         self.remat = remat
-        # lax.scan unroll factor for the rollout loop: unrolling lets XLA
-        # fuse across EM steps (fewer kernel launches / loop boundaries) at
-        # the cost of compile time. 1 = reference-faithful loop.
-        self.scan_unroll = scan_unroll
-        # Hoist ALL per-step PRNG work (threefry key splits + normal draws)
-        # out of the scan into one batched draw passed in through the scan
-        # xs. The rollout body is dominated by per-op overhead on tiny
-        # buffers, and the 4-way split + normal() are ~5 of its ops; one
-        # (T, B, d) draw amortizes them. Changes the RNG *stream* (not the
-        # distribution), so it is opt-in to keep recorded runs reproducible.
-        self.noise_pregen = noise_pregen
+        # scan_unroll: lax.scan unroll factor for the rollout loop —
+        # unrolling lets XLA fuse across EM steps (fewer kernel launches /
+        # loop boundaries) at the cost of compile time; 1 = reference-
+        # faithful loop. noise_pregen: hoist ALL per-step PRNG work
+        # (threefry key splits + normal draws) out of the scan into one
+        # batched draw passed in through the scan xs — the rollout body is
+        # dominated by per-op overhead on tiny buffers. Changes the RNG
+        # *stream* (not the distribution), so recorded runs must pin it
+        # explicitly. Both resolve from the fast-path default below when
+        # left as None (assigned after two_phase resolves).
         # Two-phase log-variance training (TPU-first redesign of the
         # reference's per-step backward, losses/oc.py:156-230 there): for
         # lv/lv_traj the SDE is driven by stop_gradient(u), so the
@@ -164,7 +174,18 @@ class BaseOCLoss:
                 "two_phase requires a detached-control method (lv/lv_traj); "
                 f"got {method}."
             )
+        # None = production default (FAST_PATH_DEFAULT above): the three
+        # fast-path knobs resolve together so the validated configuration
+        # is what ships, while any explicit value wins.
+        if two_phase is None:
+            two_phase = FAST_PATH_DEFAULT and method in ("lv", "lv_traj")
         self.two_phase = two_phase
+        if noise_pregen is None:
+            noise_pregen = two_phase
+        if scan_unroll is None:
+            scan_unroll = 8 if two_phase else 1
+        self.noise_pregen = noise_pregen
+        self.scan_unroll = scan_unroll
         # Phase-1 simulation backend: "xla" = lax.scan; "pallas" = the
         # fused rollout kernel (ops/rollout_pallas) — the whole rollout in
         # one Mosaic launch. The kernel beats the scan standalone (2.8 vs

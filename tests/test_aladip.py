@@ -216,3 +216,17 @@ def test_jax_aladip_phi_psi_and_plots(jax_aladip):
     assert bool((jnp.abs(phi) <= np.pi).all())
     figs = jax_aladip.plots(np.asarray(z))
     assert "plots/ramachandran_prediction" in figs
+
+
+def test_jax_aladip_finite_on_all_of_R60(jax_aladip):
+    """Training rollouts explore all of R^60: out-of-domain internals
+    (negative bonds, angles past pi) must yield a finite, steeply
+    decaying log-prob with a finite score pointing back into the domain
+    (clamp_internals + quadratic penalty) — never nan/inf."""
+    z = jax.random.normal(jax.random.PRNGKey(11), (32, 60)) * 30.0
+    lp = jax_aladip.unnorm_log_prob(z)
+    assert bool(jnp.isfinite(lp).all())
+    assert bool(jnp.isfinite(jax_aladip.score(z)).all())
+    # far out-of-domain is heavily suppressed vs near-anchor
+    z0 = jax.random.normal(jax.random.PRNGKey(12), (32, 60)) * 0.3
+    assert float(lp.max()) < float(jax_aladip.unnorm_log_prob(z0).min())

@@ -299,27 +299,3 @@ def test_langevin_sharded_smoke(tmp_path):
     assert results.samples.shape == (64, 1)
     assert np.isfinite(results.expectation_preds["square"])
 
-
-def test_multichip_two_phase_matches_singlechip(tmp_path):
-    """The two-phase fast path (phase-1 detached rollout + one batched
-    differentiable control evaluation) must shard over the dp mesh exactly
-    like the scan path — it is pure jnp, so the SPMD partitioner only
-    changes reduction order."""
-    assert len(jax.devices()) >= 8
-    base = ["solver=basic_dis", "target=dw_shift"] + TINY + [
-        "loss.method=lv", "+loss.two_phase=True", "+loss.noise_pregen=True",
-    ]
-
-    def losses(n_devices):
-        solver = build_solver(
-            base + ([f"n_devices={n_devices}"] if n_devices else []),
-            tmp_path / f"tp{n_devices}",
-        )
-        out = []
-        for _ in range(3):
-            metrics = solver.step()
-            out.append(float(metrics["train/loss"]))
-        return out
-
-    np.testing.assert_allclose(losses(None), losses(8), rtol=1e-4,
-                               atol=1e-5)

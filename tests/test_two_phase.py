@@ -189,3 +189,34 @@ def test_two_phase_multichip_matches_singlechip(tmp_path):
     l1 = losses(None, "d1")
     l8 = losses(8, "d8")
     np.testing.assert_allclose(l1, l8, rtol=1e-4, atol=1e-5)
+
+
+def test_fast_path_default_resolution(monkeypatch):
+    """None-valued fast-path knobs resolve together from FAST_PATH_DEFAULT;
+    explicit values always win; kl is never affected."""
+    from sde_sampler_tpu.losses import oc
+
+    ctrl = lambda t, x: x  # noqa: E731
+
+    # current production default: off
+    loss = oc.BaseOCLoss(ctrl, method="lv")
+    assert loss.two_phase is False
+    assert loss.noise_pregen is False and loss.scan_unroll == 1
+
+    # after the flip (simulated): lv resolves on, kl stays off
+    monkeypatch.setattr(oc, "FAST_PATH_DEFAULT", True)
+    loss = oc.BaseOCLoss(ctrl, method="lv")
+    assert loss.two_phase is True
+    assert loss.noise_pregen is True and loss.scan_unroll == 8
+    loss = oc.BaseOCLoss(ctrl, method="kl")
+    assert loss.two_phase is False
+    assert loss.noise_pregen is False and loss.scan_unroll == 1
+
+    # explicit overrides win regardless of the default
+    loss = oc.BaseOCLoss(ctrl, method="lv", two_phase=False,
+                         scan_unroll=4)
+    assert loss.two_phase is False and loss.scan_unroll == 4
+    assert loss.noise_pregen is False
+    loss = oc.BaseOCLoss(ctrl, method="lv", two_phase=True,
+                         noise_pregen=False)
+    assert loss.two_phase is True and loss.noise_pregen is False
