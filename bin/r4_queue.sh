@@ -73,7 +73,10 @@ say "CHIP HEALTHY — starting cells"
 # --- bench sanity first (~3 min): confirm the driver-facing number is
 # capturable before spending the chip budget on cells (VERDICT r3 #2) ----
 if [ ! -f logs/r4/BENCH_SANITY.json ]; then
-  timeout 900 python bench.py > logs/r4/BENCH_SANITY.json 2> logs/r4/bench_sanity.log
+  # write to .tmp and mv on success so a crash/timeout does not leave a
+  # file behind that blocks the retry on queue relaunch
+  timeout 900 python bench.py > logs/r4/BENCH_SANITY.tmp 2> logs/r4/bench_sanity.log \
+    && mv logs/r4/BENCH_SANITY.tmp logs/r4/BENCH_SANITY.json
   say "bench sanity rc=$? $(tail -1 logs/r4/BENCH_SANITY.json 2>/dev/null | head -c 200)"
 fi
 
@@ -166,7 +169,8 @@ if [ -f scripts/profile_phase2_compile.py ] && \
    [ ! -f logs/r4/phase2_compile.json ]; then
   say "START phase2 compile profile"
   timeout 1800 python scripts/profile_phase2_compile.py \
-    > logs/r4/phase2_compile.json 2> logs/r4/phase2_compile.log
+    > logs/r4/phase2_compile.tmp 2> logs/r4/phase2_compile.log \
+    && mv logs/r4/phase2_compile.tmp logs/r4/phase2_compile.json
   say "DONE phase2 compile profile rc=$?"
 fi
 

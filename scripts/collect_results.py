@@ -41,7 +41,16 @@ def fmt(v, suffix: str = ""):
 # finite-filtered LB error for runs recorded before the finite variants
 # entered log_norm_const_preds (solver/oc.py) and thus lack an
 # error/log_norm_const_lb_ito_finite entry. Keyed by run-name prefix.
-TARGET_LOGZ = {"funnel": 0.0, "gmm": 0.0, "mw": 0.0, "rings": 0.0}
+# funnel/gmm are normalized (logZ=0); mw/mw_50d/rings computed from this
+# repo's distributions via their factorized quadrature (conf/target
+# presets). Longest prefix wins so "mw_50d_*" never matches "mw".
+TARGET_LOGZ = {
+    "funnel": 0.0,
+    "gmm": 0.0,
+    "mw_50d": 42.8172,
+    "mw": -0.5411,
+    "rings": 2.3049,
+}
 
 
 def lb_ito_value(m: dict, name: str) -> tuple[float | None, bool]:
@@ -62,10 +71,11 @@ def lb_ito_value(m: dict, name: str) -> tuple[float | None, bool]:
     fin = m.get("error/log_norm_const_lb_ito_finite")
     if fin is None:
         pred = m.get("eval/log_norm_const_lb_ito_finite")
-        true = next(
-            (z for prefix, z in TARGET_LOGZ.items()
-             if name.startswith(prefix)), None,
-        )
+        matches = [
+            (prefix, z) for prefix, z in TARGET_LOGZ.items()
+            if name.startswith(prefix)
+        ]
+        true = max(matches, key=lambda p: len(p[0]))[1] if matches else None
         if pred is not None and true is not None:
             fin = abs(pred - true)
     return (fin, True) if fin is not None else (v, False)

@@ -53,26 +53,36 @@ def main():
     import jax.numpy as jnp
 
     from sde_sampler_tpu.distr.aladip import AlaDip, filter_chirality
+    from sde_sampler_tpu.utils.device import host_device
 
     target = AlaDip(backend="jax", env="vacuum", temperature=300)
     score = jax.jit(target.score)
 
-    key = jax.random.PRNGKey(args.seed)
-    k_init, k_dih, k_noise = jax.random.split(key, 3)
-    # bonds/angles: near the anchor (their marginals are unimodal);
-    # dihedrals: UNIFORM over the circle so chains start in every
-    # Ramachandran basin and relax locally — without this, phi/psi barrier
-    # crossings at 300 K are too rare for 20k ULA steps to populate more
-    # than the anchor basin. Normalized dihedral units are rad / std
-    # (default_std dih = 0.2).
-    import numpy as np_mod
+    # ALL eager PRNG/setup math on the host backend (CLAUDE.md: an eager
+    # op on the tunneled TPU costs ~0.5-1.5 s), incl. the per-chunk keys
+    # pre-split once up front; only the jitted chunk runs on the chip.
+    n_chunks = args.steps // 100
+    with host_device():
+        key = jax.random.PRNGKey(args.seed)
+        k_init, k_dih, k_noise = jax.random.split(key, 3)
+        # bonds/angles: near the anchor (their marginals are unimodal);
+        # dihedrals: UNIFORM over the circle so chains start in every
+        # Ramachandran basin and relax locally — near-anchor inits never
+        # cross the 300 K phi/psi barriers in 20k ULA steps. Normalized
+        # dihedral units are rad / std (default_std dih = 0.2).
+        import numpy as np_mod
 
-    x = jax.random.normal(k_init, (args.chains, 60)) * args.init_scale
-    kinds = target._tf.kinds  # 0=bond 1=angle 2=dihedral
-    dih = jax.random.uniform(
-        k_dih, (args.chains, 60), minval=-np_mod.pi, maxval=np_mod.pi
-    ) / jnp.asarray(target._tf.std)
-    x = jnp.where(jnp.asarray(kinds == 2), dih, x)
+        x = jax.random.normal(k_init, (args.chains, 60)) * args.init_scale
+        kinds = target._tf.kinds  # 0=bond 1=angle 2=dihedral
+        dih = jax.random.uniform(
+            k_dih, (args.chains, 60), minval=-np_mod.pi, maxval=np_mod.pi
+        ) / jnp.asarray(target._tf.std)
+        x = jnp.where(jnp.asarray(kinds == 2), dih, x)
+        chunk_keys = jax.random.split(k_noise, n_chunks)
+
+    logp_mean = jax.jit(lambda xx: target.unnorm_log_prob(xx[:64]).mean())
+    phi_psi = jax.jit(target.phi_psi)
+    filt = jax.jit(filter_chirality)
 
     dt = args.dt
     n_steps = args.steps
@@ -101,14 +111,13 @@ def main():
 
     kept = []
     t0 = time.time()
-    for i in range(n_steps // 100):
-        k_noise, k = jax.random.split(k_noise)
-        x = chunk(x, k)
+    for i in range(n_chunks):
+        x = chunk(x, chunk_keys[i])
         step = (i + 1) * 100
         if step > burn and step % keep_every == 0:
             kept.append(np.asarray(x))
         if step % 2000 == 0:
-            lp = float(target.unnorm_log_prob(x[:64]).mean())
+            lp = float(logp_mean(x))  # jitted; float() = relay-safe sync
             print(
                 f"step {step}/{n_steps} mean logp {lp:.1f} "
                 f"({time.time() - t0:.0f}s)",
@@ -116,10 +125,10 @@ def main():
             )
 
     samples = np.concatenate(kept, axis=0)
-    mask = np.asarray(filter_chirality(jnp.asarray(samples)))[:, 0]
+    mask = np.asarray(filt(jnp.asarray(samples)))[:, 0]
     l_frac = float(mask.mean())
     samples = samples[mask]
-    phi, psi = target.phi_psi(jnp.asarray(samples[:50000]))
+    phi, psi = phi_psi(jnp.asarray(samples[:50000]))
     print(
         f"kept {len(samples)} L-form samples (L fraction {l_frac:.3f}); "
         f"phi range [{float(phi.min()):.2f}, {float(phi.max()):.2f}]"

@@ -44,12 +44,16 @@ def _data(n, m, d, seed=0):
 
 def _compare(n, m, d):
     import jax.numpy as jnp
+    import numpy as np_
 
-    from sde_sampler_tpu.eval.sinkhorn import _softmin
+    from sde_sampler_tpu.eval.sinkhorn import _softmin, _transport_cost
     from sde_sampler_tpu.ops import sinkhorn_pallas as sp
     from sde_sampler_tpu.utils.device import sync
 
     x, y, dual = _data(n, m, d)
+    u = jnp.asarray(
+        np_.random.default_rng(1).normal(size=(n,)) * 0.01, jnp.float32
+    )
     eps = 1e-2
     print(f"launching pallas softmin n={n} m={m} d={d} ...", flush=True)
     pal = sp.softmin_pallas(x, y, dual, eps)
@@ -60,8 +64,21 @@ def _compare(n, m, d):
         row_chunk=min(1024, n), col_chunk=min(8192, m),
     )
     diff = float(jnp.abs(ref - pal).max())
-    print(f"max abs diff vs XLA: {diff:.3e}")
+    print(f"softmin max abs diff vs XLA: {diff:.3e}")
     assert diff < 1e-3, "pallas softmin mismatch"
+
+    # the transport kernel must be launched by the staged probe too —
+    # both kernels go to production when the stage gate passes
+    print("launching pallas transport cost ...", flush=True)
+    pal_t = sp.transport_cost_pallas(x, y, u, dual, eps)
+    sync(pal_t)
+    ref_t = _transport_cost(
+        x, y, u, dual, eps, p=2,
+        row_chunk=min(1024, n), col_chunk=min(8192, m),
+    )
+    rel_t = abs(float(pal_t) - float(ref_t)) / max(abs(float(ref_t)), 1e-12)
+    print(f"transport rel diff vs XLA: {rel_t:.3e}")
+    assert rel_t < 1e-4, "pallas transport mismatch"
     print("OK")
 
 
@@ -86,6 +103,15 @@ def _bench(d: int):
     from sde_sampler_tpu.ops import sinkhorn_pallas as sp
     from sde_sampler_tpu.utils.device import sync
 
+    if d < 2:
+        # The whole point of bench_d1 is to exercise the padded d=1
+        # kernels end-to-end; with the production gate still closed the
+        # 'pallas' Sinkhorn would silently route to XLA and the parity
+        # check would compare XLA with itself. Open the gate IN THIS
+        # PROCESS ONLY — the committed flag flips only after all three
+        # d1 stages pass on hardware.
+        sp.D1_HARDWARE_VALIDATED = True
+
     n = m = 100_000
     x, y, dual = _data(n, m, d)
     eps = 1e-2
@@ -107,11 +133,16 @@ def _bench(d: int):
     vals = {}
     for backend in ("xla", "pallas"):
         sk = Sinkhorn(p=2, eps=1e-3, max_iters=20, backend=backend)
+        routed = sk._use_pallas(x, y)
+        if backend == "pallas":
+            assert routed, (
+                "Sinkhorn(backend='pallas') did not route to the pallas "
+                "kernels — the parity check below would be vacuous"
+            )
         t0 = time.time()
         vals[backend] = float(sk(x, y))
         print(f"sinkhorn[{backend}] 20 iters: {time.time() - t0:.1f}s "
-              f"value={vals[backend]:.4f} "
-              f"(pallas routed: {sk._use_pallas(x, y)})")
+              f"value={vals[backend]:.4f} (pallas routed: {routed})")
     rel = abs(vals["pallas"] - vals["xla"]) / max(abs(vals["xla"]), 1e-12)
     assert rel < 1e-5, f"pallas/xla sinkhorn mismatch: {vals} (rel {rel:.2e})"
 
