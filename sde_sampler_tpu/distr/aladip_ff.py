@@ -273,20 +273,40 @@ _TABLES = _build_tables()
 
 def dihedral_angle(p0, p1, p2, p3):
     """Signed dihedral about the p1-p2 axis, (-pi, pi]; batched over
-    leading axes."""
+    leading axes. Degenerate (collinear) frames give an arbitrary but
+    FINITE angle with finite gradients (epsilon-guarded atan2 inputs)."""
     b0 = p1 - p0
     b1 = p2 - p1
     b2 = p3 - p2
     n1 = jnp.cross(b0, b1)
     n2 = jnp.cross(b1, b2)
-    m1 = jnp.cross(n1, b1 / jnp.linalg.norm(b1, axis=-1, keepdims=True))
+    b1n = b1 / jnp.sqrt((b1 * b1).sum(-1, keepdims=True) + 1e-12)
+    m1 = jnp.cross(n1, b1n)
     x = (n1 * n2).sum(-1)
     y = (m1 * n2).sum(-1)
-    return jnp.arctan2(y, x)
+    # atan2 grads blow up only at (0, 0); nudge x there (arbitrary angle
+    # for a degenerate frame, but finite with finite gradients)
+    deg = (x * x + y * y) < 1e-24
+    return jnp.arctan2(y, jnp.where(deg, 1e-12, x))
+
+
+# Gradient-safety epsilon: keeps every sqrt/normalize away from the
+# r=0 singularity where autodiff produces nan (sqrt'(0) = inf * 0).
+# Training rollouts DO visit near-coincident atoms (untrained controls);
+# 1e-12 nm^2 shifts real geometries by < 1e-6 nm.
+_EPS_SQ = 1e-12
+
+
+def _safe_norm(v):
+    return jnp.sqrt((v * v).sum(-1) + _EPS_SQ)
 
 
 def energy_kj(pos: jnp.ndarray) -> jnp.ndarray:
-    """AMBER vacuum energy in kJ/mol. pos: (..., 22, 3) in nm."""
+    """AMBER vacuum energy in kJ/mol. pos: (..., 22, 3) in nm.
+
+    All distance/angle math is epsilon-guarded so both the energy AND its
+    gradient are finite for every input geometry (regularize_energy caps
+    the value; this caps the derivative)."""
     t = _TABLES
 
     def gather(idx):
@@ -294,16 +314,14 @@ def energy_kj(pos: jnp.ndarray) -> jnp.ndarray:
 
     # bonds
     a, b = gather(t["bond_idx"])
-    r = jnp.linalg.norm(b - a, axis=-1)
+    r = _safe_norm(b - a)
     e_bond = (t["bond_k"] * (r - t["bond_r0"]) ** 2).sum(-1)
 
     # angles
     pi_, pj, pk = gather(t["ang_idx"])
     v1 = pi_ - pj
     v2 = pk - pj
-    cos = (v1 * v2).sum(-1) / (
-        jnp.linalg.norm(v1, axis=-1) * jnp.linalg.norm(v2, axis=-1)
-    )
+    cos = (v1 * v2).sum(-1) / (_safe_norm(v1) * _safe_norm(v2))
     theta = jnp.arccos(jnp.clip(cos, -1.0 + 1e-7, 1.0 - 1e-7))
     e_ang = (t["ang_k"] * (theta - t["ang_t0"]) ** 2).sum(-1)
 
@@ -317,9 +335,11 @@ def energy_kj(pos: jnp.ndarray) -> jnp.ndarray:
     def nb(tables):
         idx, sigma, eps, qq = tables
         ri, rj = pos[..., idx[:, 0], :], pos[..., idx[:, 1], :]
-        d = jnp.linalg.norm(rj - ri, axis=-1)
-        s6 = (sigma / d) ** 6
-        return (4.0 * eps * (s6 * s6 - s6) + qq / d).sum(-1)
+        diff = rj - ri
+        d2 = (diff * diff).sum(-1) + _EPS_SQ
+        # LJ straight from the squared distance (no sqrt in the 12-6 term)
+        s6 = (sigma * sigma / d2) ** 3
+        return (4.0 * eps * (s6 * s6 - s6) + qq / jnp.sqrt(d2)).sum(-1)
 
     return e_bond + e_ang + e_dih + nb(t["pair14"]) + nb(t["pair"])
 

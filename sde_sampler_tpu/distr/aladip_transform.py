@@ -85,7 +85,10 @@ PLACEMENT_ORDER = _placement_order()
 
 
 def _norm(v):
-    return v / jnp.linalg.norm(v, axis=-1, keepdims=True)
+    # epsilon-guarded: degenerate frames (coincident/collinear reference
+    # atoms, reachable from wild sampler states) must yield finite values
+    # AND finite gradients — sqrt'(0) is the nan source otherwise
+    return v / jnp.sqrt((v * v).sum(-1, keepdims=True) + 1e-20)
 
 
 def bond_angle(a, b, c):
@@ -96,7 +99,8 @@ def bond_angle(a, b, c):
 
 
 def dihedral(p0, p1, p2, p3):
-    """Signed dihedral about p1-p2, (-pi, pi], batched."""
+    """Signed dihedral about p1-p2, (-pi, pi], batched; finite (arbitrary)
+    angle with finite gradients on degenerate frames."""
     b0 = p1 - p0
     b1 = _norm(p2 - p1)
     b2 = p3 - p2
@@ -104,7 +108,8 @@ def dihedral(p0, p1, p2, p3):
     w = b2 - (b2 * b1).sum(-1, keepdims=True) * b1
     x = (v * w).sum(-1)
     y = (jnp.cross(b1, v) * w).sum(-1)
-    return jnp.arctan2(y, x)
+    deg = (x * x + y * y) < 1e-24
+    return jnp.arctan2(y, jnp.where(deg, 1e-12, x))
 
 
 def _nerf(a, b, c, r, theta, phi):
@@ -131,16 +136,20 @@ def _nerf(a, b, c, r, theta, phi):
 
 def cartesian_to_internal(pos: jnp.ndarray) -> jnp.ndarray:
     """(..., 22, 3) nm -> (..., 60) raw internal coordinates."""
+    def safe_dist(u, v):
+        d = u - v
+        return jnp.sqrt((d * d).sum(-1) + 1e-20)
+
     o, ax, pl = FRAME
     coords = [
-        jnp.linalg.norm(pos[..., ax, :] - pos[..., o, :], axis=-1),
-        jnp.linalg.norm(pos[..., pl, :] - pos[..., o, :], axis=-1),
+        safe_dist(pos[..., ax, :], pos[..., o, :]),
+        safe_dist(pos[..., pl, :], pos[..., o, :]),
         bond_angle(pos[..., ax, :], pos[..., o, :], pos[..., pl, :]),
     ]
     for atom, (r0, r1, r2) in Z_MATRIX:
         pa = pos[..., atom, :]
         p0, p1, p2 = pos[..., r0, :], pos[..., r1, :], pos[..., r2, :]
-        coords.append(jnp.linalg.norm(pa - p0, axis=-1))
+        coords.append(safe_dist(pa, p0))
         coords.append(bond_angle(pa, p0, p1))
         coords.append(dihedral(pa, p0, p1, p2))
     return jnp.stack(coords, axis=-1)
