@@ -82,19 +82,34 @@ fi
 
 GRID_ARGS="eval_init=False eval_interval=60000"
 
-# --- eval-only re-runs under the finite-filtered LB convention (VERDICT
-# r3 #8): same out_dir + same train_steps => setup() restores the final
-# ckpt and run() goes straight to evaluate() ------------------------------
-reeval() {
-  local dir="$1"; shift
-  if [ -f "$dir/ckpt/ckpt_final.pkl" ] && [ ! -f "$dir/REEVAL_DONE" ]; then
-    say "START reeval $dir"
-    timeout 1800 python scripts/main.py "$@" out_dir="$dir" \
-      > "$dir.reeval.log" 2>&1 && touch "$dir/REEVAL_DONE"
-    say "DONE reeval $dir rc=$?"
-  fi
-}
-reeval logs/r3/funnel_dis_lv_seed3 target=funnel solver=dis seed=3 $GRID_ARGS
+# NOTE (08:45 UTC Aug-18): the VM rebooted at round-4 start and logs/r3
+# (untracked) was lost, so the round-3 checkpoints the original reeval
+# cells targeted are gone. Those cells are replaced by full retrains
+# below (funnel 60k is ~15-20 min wall on this chip). Order is judge
+# priority: fast-path REEVAL gate + seed3 inf-cell fix first, then the
+# solver/estimator tail, AlaDip, phase-2 profile, then the multi-hour
+# cox/nice cells, stragglers, and the d=1 pallas probes LAST.
+
+# --- two-phase fast-path A/B: retrain on the fast path, then re-eval the
+# same ckpt through the STANDARD path (same out_dir + same train_steps =>
+# setup() restores the ckpt and run() goes straight to evaluate()).
+# REEVAL_DONE is the gate for flipping losses/oc.FAST_PATH_DEFAULT. ------
+run 2400 funnel_dis_lv_twophase target=funnel solver=dis \
+  +loss.two_phase=True +loss.noise_pregen=True +loss.scan_unroll=8 \
+  $GRID_ARGS
+if [ -f logs/r4/funnel_dis_lv_twophase/ckpt/ckpt_final.pkl ] && \
+   [ ! -f logs/r4/funnel_dis_lv_twophase/REEVAL_DONE ]; then
+  say "START twophase_reeval (standard path, same ckpt)"
+  timeout 1500 python scripts/main.py target=funnel solver=dis $GRID_ARGS \
+    out_dir=logs/r4/funnel_dis_lv_twophase \
+    > logs/r4/funnel_dis_lv_twophase.reeval.log 2>&1 \
+    && touch logs/r4/funnel_dis_lv_twophase/REEVAL_DONE
+  say "DONE twophase_reeval rc=$?"
+fi
+
+# --- funnel seed-3 retrain under the finite-LB convention (kills the inf
+# cell in GRID_TABLE; VERDICT r3 #8) --------------------------------------
+run 2400 funnel_dis_lv_seed3 target=funnel solver=dis seed=3 $GRID_ARGS
 
 # --- production wall-clock probe of the fast path at current defaults ----
 # (RESULTS.md round-3 throughput section references this run)
@@ -113,43 +128,8 @@ run 2400 funnel_dis_kl_ito   target=funnel   solver=dis loss.method=kl_ito $GRID
 run 3000 dw_shift_dis_kl_ito target=dw_shift solver=dis loss.method=kl_ito $GRID_ARGS
 run 3000 mw_dis_kl_ito       target=mw       solver=dis loss.method=kl_ito $GRID_ARGS
 
-# --- gmm 3rd seed (dup-writer redo) + two-phase A/B re-eval ---------------
+# --- gmm 3rd seed (dup-writer redo) ---------------------------------------
 run 2400 gmm_dis_lv_seed3 target=gmm solver=dis seed=3 $GRID_ARGS
-if [ -f logs/r3/funnel_dis_lv_twophase/ckpt/ckpt_final.pkl ] && \
-   [ ! -f logs/r3/funnel_dis_lv_twophase/REEVAL_DONE ]; then
-  say "START twophase_reeval"
-  timeout 1500 python scripts/main.py target=funnel solver=dis $GRID_ARGS \
-    out_dir=logs/r3/funnel_dis_lv_twophase \
-    > logs/r3/funnel_dis_lv_twophase.reeval.log 2>&1 \
-    && touch logs/r3/funnel_dis_lv_twophase/REEVAL_DONE
-  say "DONE twophase_reeval rc=$?"
-fi
-
-# --- Cox from the standard pipeline (800-step eval default; ~2h) ----------
-run 9000 cox_whitened_60k target=cox +target.use_whitened=True solver=dis \
-  train_steps=60000 train_batch_size=1024 eval_batch_size=100000 \
-  eval_init=False eval_interval=20000
-
-# --- nice_smooth 196-d cell (~2.5h: score-guided control on the flow) -----
-if [ -f logs/r3/NICE_SMOOTH_VALIDATED ]; then
-  run 10800 nice_smooth_dis_lv target=nice_smooth solver=dis \
-    eval_init=False eval_interval=20000
-fi
-
-# --- lv_traj columns -------------------------------------------------------
-run 2400 funnel_dis_lv_traj target=funnel solver=dis loss.method=lv_traj \
-  loss.traj_per_sample=8 train_batch_size=256 $GRID_ARGS
-run 3000 dw_shift_dis_lv_traj target=dw_shift solver=dis loss.method=lv_traj \
-  loss.traj_per_sample=8 train_batch_size=256 $GRID_ARGS
-run 3000 mw_dis_lv_traj target=mw solver=dis loss.method=lv_traj \
-  loss.traj_per_sample=8 train_batch_size=256 $GRID_ARGS
-
-# --- stragglers (VERDICT-r2 item 8) ----------------------------------------
-run 2400 mw_50d_dis target=mw_50d solver=dis $GRID_ARGS
-run 3600 rosenbrock_dis_60k target=rosenbrock solver=dis $GRID_ARGS
-run 2400 rings_dis_lv target=rings solver=dis $GRID_ARGS
-run 2400 img_dis_lv target=img solver=dis train_steps=10000 \
-  eval_init=False eval_interval=10000
 
 # --- JAX-native AlaDip (VERDICT r4 #6; CPU-validated, tests green) ----------
 # Reference eval set first (ULA on the chip, ~minutes; plain XLA, no
@@ -173,6 +153,32 @@ if [ -f scripts/profile_phase2_compile.py ] && \
     && mv logs/r4/phase2_compile.tmp logs/r4/phase2_compile.json
   say "DONE phase2 compile profile rc=$?"
 fi
+
+# --- lv_traj columns -------------------------------------------------------
+run 2400 funnel_dis_lv_traj target=funnel solver=dis loss.method=lv_traj \
+  loss.traj_per_sample=8 train_batch_size=256 $GRID_ARGS
+run 3000 dw_shift_dis_lv_traj target=dw_shift solver=dis loss.method=lv_traj \
+  loss.traj_per_sample=8 train_batch_size=256 $GRID_ARGS
+run 3000 mw_dis_lv_traj target=mw solver=dis loss.method=lv_traj \
+  loss.traj_per_sample=8 train_batch_size=256 $GRID_ARGS
+
+# --- Cox from the standard pipeline (800-step eval default; ~2h) ----------
+run 9000 cox_whitened_60k target=cox +target.use_whitened=True solver=dis \
+  train_steps=60000 train_batch_size=1024 eval_batch_size=100000 \
+  eval_init=False eval_interval=20000
+
+# --- nice_smooth 196-d cell (~2.5h: score-guided control on the flow) -----
+if [ -f logs/r4/NICE_SMOOTH_VALIDATED ] || [ -f logs/r3/NICE_SMOOTH_VALIDATED ]; then
+  run 10800 nice_smooth_dis_lv target=nice_smooth solver=dis \
+    eval_init=False eval_interval=20000
+fi
+
+# --- stragglers (VERDICT-r2 item 8) ----------------------------------------
+run 2400 mw_50d_dis target=mw_50d solver=dis $GRID_ARGS
+run 3600 rosenbrock_dis_60k target=rosenbrock solver=dis $GRID_ARGS
+run 2400 rings_dis_lv target=rings solver=dis $GRID_ARGS
+run 2400 img_dis_lv target=img solver=dis train_steps=10000 \
+  eval_init=False eval_interval=10000
 
 # --- d=1 Pallas Sinkhorn zero-padding probes (VERDICT r4 #7) ----------------
 # Run LAST: the padded launch shapes are identical to the d=2 stages that

@@ -77,7 +77,8 @@ def main():
         print("TINY-RUN CHECK FAILED (worse than untrained-control scale)")
         return 1
     print("ALL OK")
-    (REPO / "logs/r3/NICE_SMOOTH_VALIDATED").touch()
+    (REPO / "logs/r4").mkdir(parents=True, exist_ok=True)
+    (REPO / "logs/r4/NICE_SMOOTH_VALIDATED").touch()
     return 0
 
 
