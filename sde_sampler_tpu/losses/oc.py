@@ -105,13 +105,17 @@ class RolloutResult(NamedTuple):
 
 # Production default for the two-phase fast path (two_phase +
 # noise_pregen + scan_unroll=8) on detached-control methods (lv/lv_traj).
-# A/B-validated at 60k paper-scale steps in round 3 (RESULTS.md: IS err
-# 0.0268 vs 0.0257, ESS 0.2275 vs 0.2328); flip to True once the queued
-# standard-path re-eval of the two-phase checkpoint (REEVAL_DONE,
-# bin/r4_queue.sh) confirms the A/B per VERDICT r3 next #4. Explicit
+# A/B-validated at 60k paper-scale steps twice: round 3 (RESULTS.md: IS
+# err 0.0268 two-phase vs 0.0257 standard, ESS 0.2275 vs 0.2328) and
+# round 4, where the SAME two-phase-trained checkpoint was re-evaluated
+# through the standard path (logs/r4/funnel_dis_lv_twophase REEVAL: IS
+# err 0.0243 fast-eval vs 0.0246 standard-eval, LB-Ito 0.4335 vs 0.4344,
+# 0 nonfinite trajectories) — the VERDICT r3 next-#4 gate. Flipped True
+# 2026-08-18: lv/lv_traj production runs now train on the two-phase fast
+# path (~7 ms/step on funnel paper scale vs 13.5 ms standard). Explicit
 # config values always override; kl/kl_ito are never affected (the
 # trajectory is differentiated through the drift there).
-FAST_PATH_DEFAULT = False
+FAST_PATH_DEFAULT = True
 
 
 class BaseOCLoss:

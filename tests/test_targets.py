@@ -53,8 +53,10 @@ def test_target_smoke(target, tmp_path):
     assert np.isfinite(float(metrics["train/loss"])), target
 
 
-def test_aladip_requires_optional_deps():
-    pytest.importorskip_msg = None
+def test_aladip_backend_resolution_without_openmm():
+    """backend="auto" falls back to the JAX-native vacuum energy when
+    openmm is absent (round-4 change); requesting openmm explicitly
+    still raises ImportError."""
     try:
         import openmm  # noqa: F401
 
@@ -65,5 +67,8 @@ def test_aladip_requires_optional_deps():
         pytest.skip("openmm present; covered by full target run")
     from sde_sampler_tpu.distr.aladip import AlaDip
 
+    t = AlaDip()
+    assert t.backend == "jax"
+
     with pytest.raises(ImportError):
-        AlaDip()
+        AlaDip(backend="openmm")

@@ -198,17 +198,18 @@ def test_fast_path_default_resolution(monkeypatch):
 
     ctrl = lambda t, x: x  # noqa: E731
 
-    # current production default: off
-    loss = oc.BaseOCLoss(ctrl, method="lv")
-    assert loss.two_phase is False
-    assert loss.noise_pregen is False and loss.scan_unroll == 1
-
-    # after the flip (simulated): lv resolves on, kl stays off
-    monkeypatch.setattr(oc, "FAST_PATH_DEFAULT", True)
+    # current production default (flipped ON 2026-08-18 after the
+    # REEVAL_DONE A/B gate): lv resolves on, kl stays off
     loss = oc.BaseOCLoss(ctrl, method="lv")
     assert loss.two_phase is True
     assert loss.noise_pregen is True and loss.scan_unroll == 8
     loss = oc.BaseOCLoss(ctrl, method="kl")
+    assert loss.two_phase is False
+    assert loss.noise_pregen is False and loss.scan_unroll == 1
+
+    # with the default off (simulated): everything resolves off
+    monkeypatch.setattr(oc, "FAST_PATH_DEFAULT", False)
+    loss = oc.BaseOCLoss(ctrl, method="lv")
     assert loss.two_phase is False
     assert loss.noise_pregen is False and loss.scan_unroll == 1
 
