@@ -54,23 +54,31 @@ TARGET_LOGZ = {
 
 
 def lb_ito_value(m: dict, name: str) -> tuple[float | None, bool]:
-    """LB-Ito error with the finite-filtered fallback convention.
+    """LB-Ito error with the filtered fallback convention.
 
     Primary: error/log_norm_const_lb_ito (unfiltered mean — reference
     parity, /root/reference/sde_sampler/losses/oc.py:109). When that is
     non-finite (>=1 diverged trajectory out of ~100k makes the mean -inf),
-    publish the finite-filtered error instead, marked `*` and footnoted
-    (n_nonfinite_rnd is logged alongside in metrics.jsonl). Returns
-    (value, used_fallback).
+    publish the max_rnd-FILTERED error instead (the training filter
+    applied at eval; losses/oc.py compute_results_arrays), marked `*` and
+    footnoted (n_nonfinite_rnd / n_filtered_rnd are logged alongside in
+    metrics.jsonl). Finite-only filtering is insufficient — funnel seed 3
+    (logs/r4) has finite ~1e33 rnd outliers that survive it — so the
+    finite variant is only the legacy fallback for runs recorded before
+    the filtered variant existed. Returns (value, used_fallback).
     """
     import math
 
     v = m.get("error/log_norm_const_lb_ito")
     if v is None or math.isfinite(v):
         return v, False
-    fin = m.get("error/log_norm_const_lb_ito_finite")
+    fin = m.get("error/log_norm_const_lb_ito_filtered")
     if fin is None:
-        pred = m.get("eval/log_norm_const_lb_ito_finite")
+        fin = m.get("error/log_norm_const_lb_ito_finite")
+    if fin is None:
+        pred = m.get("eval/log_norm_const_lb_ito_filtered")
+        if pred is None:
+            pred = m.get("eval/log_norm_const_lb_ito_finite")
         matches = [
             (prefix, z) for prefix, z in TARGET_LOGZ.items()
             if name.startswith(prefix)

@@ -302,28 +302,54 @@ class BaseOCLoss:
         return loss, {"train/n_filtered": n_filtered}
 
     @staticmethod
-    def compute_results_arrays(rnd: jnp.ndarray, rnd_no_ito: jnp.ndarray) -> dict:
-        """Device-side eval statistics (both log Z estimators in one pass)."""
+    def compute_results_arrays(
+        rnd: jnp.ndarray,
+        rnd_no_ito: jnp.ndarray,
+        max_rnd: float | None = None,
+    ) -> dict:
+        """Device-side eval statistics (both log Z estimators in one pass).
+
+        A diverged trajectory (rnd = +inf, or finite-but-astronomical;
+        funnel-tail EM blowup, seen in ~0.03% of 100k-sample evals for
+        some seeds' trained controls) makes the unfiltered lower-bound
+        means -inf or garbage. Those stay as the primary
+        (reference-parity) estimators; two diagnostic families make such
+        evals informative:
+          *_finite    — non-finite rnd dropped;
+          *_filtered  — the TRAINING filter applied at eval: non-finite
+                        dropped AND rnd < max_rnd (the same cutoff the
+                        reference's filter_rnd applies during training,
+                        /root/reference/sde_sampler/losses/oc.py:50-58) —
+                        this is the table-fallback convention, since a
+                        finite 1e33 outlier still wrecks the finite mean
+                        (observed: funnel seed 3, logs/r4).
+        With max_rnd=None the filtered variants equal the finite ones.
+        """
         neg_rnd = -rnd
         log_weights_max = neg_rnd.max()
         weights = jnp.exp(neg_rnd - log_weights_max)
-        # A diverged trajectory (rnd = +inf; funnel-tail EM blowup, seen in
-        # ~0.03% of 100k-sample evals for some trained controls) makes the
-        # unfiltered lower-bound means -inf. Those stay as the primary
-        # (reference-parity) estimators; the *_finite variants + count are
-        # extra diagnostics so such evals remain informative.
-        def fin_mean(v):
-            mask = jnp.isfinite(v)
+
+        def masked(v, mask):
             return jnp.where(mask, v, 0.0).sum() / jnp.maximum(mask.sum(), 1)
+
+        fin = jnp.isfinite(rnd)
+        filt = fin if max_rnd is None else fin & (rnd < max_rnd)
+        fin_no_ito = jnp.isfinite(rnd_no_ito)
+        filt_no_ito = (
+            fin_no_ito if max_rnd is None else fin_no_ito & (rnd_no_ito < max_rnd)
+        )
 
         return {
             "weights": weights,
             "log_norm_const_lb_ito": neg_rnd.mean(),
             "log_norm_const_is": jnp.log(weights.mean()) + log_weights_max,
             "log_norm_const_lb": (-rnd_no_ito).mean(),
-            "log_norm_const_lb_ito_finite": fin_mean(neg_rnd),
-            "log_norm_const_lb_finite": fin_mean(-rnd_no_ito),
-            "n_nonfinite_rnd": (~jnp.isfinite(rnd)).sum(),
+            "log_norm_const_lb_ito_finite": masked(neg_rnd, fin),
+            "log_norm_const_lb_finite": masked(-rnd_no_ito, fin_no_ito),
+            "log_norm_const_lb_ito_filtered": masked(neg_rnd, filt),
+            "log_norm_const_lb_filtered": masked(-rnd_no_ito, filt_no_ito),
+            "n_nonfinite_rnd": (~fin).sum(),
+            "n_filtered_rnd": (~filt).sum(),
             "lv_loss": rnd.var(ddof=1),
         }
 

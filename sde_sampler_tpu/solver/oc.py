@@ -143,7 +143,7 @@ class TrainableDiff(Trainable):
             loss, k_loss, self.eval_ts, x, return_traj
         )
         stats = BaseOCLoss.compute_results_arrays(
-            result.rnd, result.rnd_no_ito
+            result.rnd, result.rnd_no_ito, max_rnd=loss.max_rnd
         )
         return {
             "samples": result.samples,
@@ -190,12 +190,24 @@ class TrainableDiff(Trainable):
             "log_norm_const_lb_finite": float(
                 out["log_norm_const_lb_finite"]
             ),
+            # max_rnd-filtered variants (the training filter applied at
+            # eval): the table-fallback convention — finite-only filtering
+            # leaves finite ~1e33 outliers in (funnel seed 3, logs/r4).
+            "log_norm_const_lb_ito_filtered": float(
+                out["log_norm_const_lb_ito_filtered"]
+            ),
+            "log_norm_const_lb_filtered": float(
+                out["log_norm_const_lb_filtered"]
+            ),
         }
         metrics = {
             "eval/sample_time": sample_time,
             "eval/lv_loss": float(out["lv_loss"]),
             # count of diverged eval trajectories (rnd = +/-inf or nan)
             "eval/n_nonfinite_rnd": float(out["n_nonfinite_rnd"]),
+            # count dropped by the eval-side training filter (non-finite
+            # OR rnd >= max_rnd)
+            "eval/n_filtered_rnd": float(out["n_filtered_rnd"]),
         }
         results = Results(
             samples=out["samples"],

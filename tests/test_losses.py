@@ -58,7 +58,11 @@ def test_optimal_control_exact_log_z_and_zero_lv():
     stats = loss.compute_results_arrays(res.rnd, res.rnd_no_ito)
     assert float(stats["log_norm_const_is"]) == pytest.approx(LOG_Z, abs=0.05)
     assert float(stats["log_norm_const_lb_ito"]) == pytest.approx(LOG_Z, abs=0.05)
-    assert float(stats["log_norm_const_lb"]) == pytest.approx(LOG_Z, abs=0.05)
+    # The plain LB (no Ito correction) is the noisiest estimator: at 4096
+    # samples its MC error is ~0.06, so the realized value depends on the
+    # noise stream (FAST_PATH_DEFAULT=True routes lv through noise_pregen,
+    # which draws the same distribution in a different order).
+    assert float(stats["log_norm_const_lb"]) == pytest.approx(LOG_Z, abs=0.12)
     assert float(stats["lv_loss"]) < 0.1
 
     l_lv, _ = jax.jit(
@@ -259,3 +263,35 @@ def test_lv_traj_variance_over_trajectories():
     )
     assert np.isfinite(float(val))
     assert float(val) >= 0.0
+
+
+def test_results_arrays_max_rnd_filtered_variants():
+    """The eval-side max_rnd filter (table-fallback convention) must drop
+    BOTH non-finite rnd and finite outliers above the training cutoff —
+    finite-only filtering leaves a 1e33 outlier in (funnel seed 3)."""
+    from sde_sampler_tpu.losses.oc import BaseOCLoss
+
+    rnd = jnp.array([1.0, 2.0, jnp.inf, 1e33, 3.0])
+    rnd_no_ito = jnp.array([1.0, 2.0, jnp.nan, 1e33, 3.0])
+    stats = BaseOCLoss.compute_results_arrays(rnd, rnd_no_ito, max_rnd=1e8)
+
+    # unfiltered primary: wrecked by the inf / outlier (reference parity)
+    assert not np.isfinite(float(stats["log_norm_const_lb_ito"]))
+    # finite-only: inf dropped, 1e33 kept
+    assert float(stats["log_norm_const_lb_ito_finite"]) < -1e30
+    # filtered: both dropped -> mean of -(1,2,3)
+    np.testing.assert_allclose(
+        float(stats["log_norm_const_lb_ito_filtered"]), -2.0, rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        float(stats["log_norm_const_lb_filtered"]), -2.0, rtol=1e-6
+    )
+    assert int(stats["n_nonfinite_rnd"]) == 1
+    assert int(stats["n_filtered_rnd"]) == 2
+
+    # max_rnd=None: filtered degenerates to finite
+    stats = BaseOCLoss.compute_results_arrays(rnd, rnd_no_ito, max_rnd=None)
+    np.testing.assert_allclose(
+        float(stats["log_norm_const_lb_ito_filtered"]),
+        float(stats["log_norm_const_lb_ito_finite"]),
+    )
