@@ -1,27 +1,64 @@
 #!/bin/bash
 # Round-4 chip queue — everything paper-scale that the round-3 relay
-# outage blocked (prepared at the end of round 3; see CLAUDE.md round-3
-# learnings for the dead-relay diagnosis and probe protocol).
+# outage blocked (see CLAUDE.md round-3 learnings for the dead-relay
+# diagnosis and probe protocol).
+#
+# Rewritten 12:30 UTC Aug-18 after the SECOND VM reboot of the day wiped
+# logs/ again: every completed cell is now HARVESTED into the tracked
+# results/r4/ tree and git-committed immediately, so chip work survives
+# reboots; the skip check consults results/r4 too. Cells are reordered
+# for a ~3 h window (judge priority first); multi-hour cells (cox, nice)
+# only start when their FULL budget fits; the d=1 pallas probes need a
+# manual opt-in flag (touch logs/r4/RUN_D1) because a relay kill before
+# the driver's round-end bench would null BENCH_r04 again.
 #
 # Usage: bash bin/r4_queue.sh [HARD_STOP]   (HARD_STOP = 'YYYY-MM-DD HH:MM'
 # UTC when the chip must be idle for the driver's bench run; default
-# 11 h after launch). Safe to re-run: finished cells are skipped.
+# 3 h after launch). Safe to re-run: finished cells are skipped.
 set -u
 cd "$(dirname "$0")/.."
-mkdir -p logs/r4
+mkdir -p logs/r4 results/r4
 
-# Single-instance lock: a sleeper instance may already have been launched
-# at the end of round 3 (see CLAUDE.md). Check `cat logs/r4_queue.pid` /
-# `ps` before assuming the queue is not running.
+# Single-instance lock.
 exec 9>logs/r4_queue.lock
 flock -n 9 || { echo "[r4] another instance holds logs/r4_queue.lock"; exit 1; }
 echo $$ > logs/r4_queue.pid
 
-HARD_STOP=$(date -ud "${1:-$(date -ud '+11 hours' '+%Y-%m-%d %H:%M')}" +%s)
+HARD_STOP=$(date -ud "${1:-$(date -ud '+3 hours' '+%Y-%m-%d %H:%M')}" +%s)
 
 now() { date -u +%s; }
 say() { echo "[r4] $* $(date -u +%H:%M:%S)"; }
 relay_up() { timeout 2 bash -c 'exec 3<>/dev/tcp/127.0.0.1/8082' 2>/dev/null; }
+
+# Copy a cell's durable artifacts into the tracked results/ tree and
+# commit ONLY those paths (pathspec commit => never sweeps up whatever
+# the interactive session has staged). Retries around index.lock races.
+commit_paths() {
+  local msg="$1"; shift
+  for _ in 1 2 3; do
+    if git add -- "$@" >/dev/null 2>&1 && \
+       git commit -q -m "$msg" -- "$@" >/dev/null 2>&1; then
+      say "HARVEST committed: $msg"; return 0
+    fi
+    sleep 7
+  done
+  say "HARVEST commit failed (left in worktree): $msg"
+  return 1
+}
+
+harvest() {
+  local name="$1"
+  [ -d "logs/r4/$name" ] || return 0
+  mkdir -p "results/r4/$name"
+  cp -f "logs/r4/$name/metrics.jsonl" "results/r4/$name/" 2>/dev/null
+  local f
+  for f in "logs/r4/$name"/*.yaml; do
+    [ -f "$f" ] && cp -f "$f" "results/r4/$name/"
+  done
+  [ -f "logs/r4/$name.log" ] && \
+    tail -c 20000 "logs/r4/$name.log" > "results/r4/$name/run.log.tail"
+  commit_paths "r4 queue harvest: $name" "results/r4/$name"
+}
 
 probe_until_healthy() {
   local n=0
@@ -48,6 +85,7 @@ run() {
   local cap="$1"; shift
   local name="$1"; shift
   if [ -f "logs/r4/$name/metrics.jsonl" ] || \
+     [ -f "results/r4/$name/metrics.jsonl" ] || \
      [ -f "logs/r3/$name/metrics.jsonl" ]; then
     say "SKIP $name (exists)"; return
   fi
@@ -59,11 +97,15 @@ run() {
     out_dir="logs/r4/$name" > "logs/r4/$name.log" 2>&1
   local rc=$?
   say "DONE $name rc=$rc"
+  harvest "$name"
   if [ "$rc" -eq 124 ]; then
-    WEDGED=$((WEDGED+1))
-    say "rc=124 — re-entering probe mode (count $WEDGED)"
-    sleep 600
-    probe_until_healthy || return
+    # Could be a mere budget overrun, not a wedge: probe immediately; only
+    # back off if the probe itself fails.
+    say "rc=124 — immediate health probe"
+    if ! probe_until_healthy; then
+      WEDGED=$((WEDGED+1))
+      say "probe failed after rc=124 (count $WEDGED)"
+    fi
   fi
 }
 
@@ -72,122 +114,131 @@ say "CHIP HEALTHY — starting cells"
 
 # --- bench sanity first (~3 min): confirm the driver-facing number is
 # capturable before spending the chip budget on cells (VERDICT r3 #2) ----
-if [ ! -f logs/r4/BENCH_SANITY.json ]; then
-  # write to .tmp and mv on success so a crash/timeout does not leave a
-  # file behind that blocks the retry on queue relaunch
+if [ ! -f logs/r4/BENCH_SANITY.json ] && [ ! -f results/r4/BENCH_SANITY.json ]; then
   timeout 900 python bench.py > logs/r4/BENCH_SANITY.tmp 2> logs/r4/bench_sanity.log \
     && mv logs/r4/BENCH_SANITY.tmp logs/r4/BENCH_SANITY.json
   say "bench sanity rc=$? $(tail -1 logs/r4/BENCH_SANITY.json 2>/dev/null | head -c 200)"
+  if [ -f logs/r4/BENCH_SANITY.json ]; then
+    cp -f logs/r4/BENCH_SANITY.json results/r4/
+    commit_paths "r4 queue harvest: bench sanity" results/r4/BENCH_SANITY.json
+  fi
 fi
 
 GRID_ARGS="eval_init=False eval_interval=60000"
 
-# NOTE (08:45 UTC Aug-18): the VM rebooted at round-4 start and logs/r3
-# (untracked) was lost, so the round-3 checkpoints the original reeval
-# cells targeted are gone. Those cells are replaced by full retrains
-# below (funnel 60k is ~15-20 min wall on this chip). Order is judge
-# priority: fast-path REEVAL gate + seed3 inf-cell fix first, then the
-# solver/estimator tail, AlaDip, phase-2 profile, then the multi-hour
-# cox/nice cells, stragglers, and the d=1 pallas probes LAST.
-
-# --- two-phase fast-path A/B: retrain on the fast path, then re-eval the
-# same ckpt through the STANDARD path (same out_dir + same train_steps =>
-# setup() restores the ckpt and run() goes straight to evaluate()).
-# REEVAL_DONE is the gate for flipping losses/oc.FAST_PATH_DEFAULT. ------
-run 2400 funnel_dis_lv_twophase target=funnel solver=dis \
+# --- two-phase fast-path cell (now also the production default, flipped
+# in commit fc52522 after the 08:46-12:20 session's REEVAL — that
+# checkpoint died with the 12:20 reboot, so retrain to regenerate the
+# GRID_TABLE row's metrics, then re-eval the same ckpt through the
+# standard path for the A/B row) -----------------------------------------
+run 1800 funnel_dis_lv_twophase target=funnel solver=dis \
   +loss.two_phase=True +loss.noise_pregen=True +loss.scan_unroll=8 \
   $GRID_ARGS
 if [ -f logs/r4/funnel_dis_lv_twophase/ckpt/ckpt_final.pkl ] && \
    [ ! -f logs/r4/funnel_dis_lv_twophase/REEVAL_DONE ]; then
   say "START twophase_reeval (standard path, same ckpt)"
-  timeout 1500 python scripts/main.py target=funnel solver=dis $GRID_ARGS \
+  timeout 1200 python scripts/main.py target=funnel solver=dis \
+    +loss.two_phase=False +loss.noise_pregen=False $GRID_ARGS \
     out_dir=logs/r4/funnel_dis_lv_twophase \
     > logs/r4/funnel_dis_lv_twophase.reeval.log 2>&1 \
     && touch logs/r4/funnel_dis_lv_twophase/REEVAL_DONE
   say "DONE twophase_reeval rc=$?"
+  harvest funnel_dis_lv_twophase
 fi
 
-# --- funnel seed-3 retrain under the finite-LB convention (kills the inf
-# cell in GRID_TABLE; VERDICT r3 #8) --------------------------------------
-run 2400 funnel_dis_lv_seed3 target=funnel solver=dis seed=3 $GRID_ARGS
-
-# --- production wall-clock probe of the fast path at current defaults ----
-# (RESULTS.md round-3 throughput section references this run)
-run 1800 funnel_fast_prod_probe target=funnel solver=dis \
-  +loss.two_phase=True +loss.noise_pregen=True +loss.scan_unroll=8 \
-  train_steps=3000 eval_batch_size=2000 eval_init=False \
-  eval_interval=3000 plot_results=False
+# --- funnel seed-3 retrain under the max_rnd-filter convention (fills the
+# inf cell in GRID_TABLE; VERDICT r3 #8) ----------------------------------
+run 1800 funnel_dis_lv_seed3 target=funnel solver=dis seed=3 $GRID_ARGS
 
 # --- VERDICT-r2 item 2: solver-family tail at paper scale ----------------
-run 2400 gmm_bridge_lv    target=gmm solver=bridge      $GRID_ARGS
-run 2400 gmm_dis_subtraj  target=gmm solver=dis_subtraj $GRID_ARGS
-run 2400 gmm_dds_euler    target=gmm solver=dds_euler   $GRID_ARGS
+run 1800 gmm_bridge_lv    target=gmm solver=bridge      $GRID_ARGS
+run 1800 gmm_dis_subtraj  target=gmm solver=dis_subtraj $GRID_ARGS
+run 1800 gmm_dds_euler    target=gmm solver=dds_euler   $GRID_ARGS
 
-# --- kl_ito estimator column ---------------------------------------------
-run 2400 funnel_dis_kl_ito   target=funnel   solver=dis loss.method=kl_ito $GRID_ARGS
-run 3000 dw_shift_dis_kl_ito target=dw_shift solver=dis loss.method=kl_ito $GRID_ARGS
-run 3000 mw_dis_kl_ito       target=mw       solver=dis loss.method=kl_ito $GRID_ARGS
+# --- kl_ito estimator column (funnel first; dw/mw later — dw eval ~24 min
+# on the d=1 XLA Sinkhorn path) -------------------------------------------
+run 1800 funnel_dis_kl_ito target=funnel solver=dis loss.method=kl_ito $GRID_ARGS
 
-# --- gmm 3rd seed (dup-writer redo) ---------------------------------------
-run 2400 gmm_dis_lv_seed3 target=gmm solver=dis seed=3 $GRID_ARGS
+# --- gmm 3rd seed ----------------------------------------------------------
+run 1800 gmm_dis_lv_seed3 target=gmm solver=dis seed=3 $GRID_ARGS
 
 # --- JAX-native AlaDip (VERDICT r4 #6; CPU-validated, tests green) ----------
-# Reference eval set first (ULA on the chip, ~minutes; plain XLA, no
-# pallas): gives the training cell Sinkhorn/marginal error columns.
 if [ ! -f data/aladip_eval.npy ]; then
   say "START gen_aladip_eval"
-  timeout 1800 python scripts/gen_aladip_eval.py \
+  timeout 1500 python scripts/gen_aladip_eval.py \
     > logs/r4/gen_aladip_eval.log 2>&1
   say "DONE gen_aladip_eval rc=$?"
+  [ -f data/aladip_eval.npy ] && \
+    commit_paths "r4: AlaDip reference eval set (ULA on chip)" data/aladip_eval.npy
 fi
-run 2400 aladip_vacuum_dis target=aladip_vacuum solver=dis \
+run 2100 aladip_vacuum_dis target=aladip_vacuum solver=dis \
   train_steps=5000 train_batch_size=512 eval_batch_size=4096 \
   eval_init=False eval_interval=5000
 
+# --- lv_traj column (funnel first) -----------------------------------------
+run 1800 funnel_dis_lv_traj target=funnel solver=dis loss.method=lv_traj \
+  loss.traj_per_sample=8 train_batch_size=256 $GRID_ARGS
+
 # --- phase-2 compile root-cause data (VERDICT r4 #5) -------------------------
 if [ -f scripts/profile_phase2_compile.py ] && \
-   [ ! -f logs/r4/phase2_compile.json ]; then
+   [ ! -f logs/r4/phase2_compile.json ] && \
+   [ ! -f results/r4/phase2_compile.json ]; then
   say "START phase2 compile profile"
-  timeout 1800 python scripts/profile_phase2_compile.py \
+  timeout 1500 python scripts/profile_phase2_compile.py \
     > logs/r4/phase2_compile.tmp 2> logs/r4/phase2_compile.log \
     && mv logs/r4/phase2_compile.tmp logs/r4/phase2_compile.json
   say "DONE phase2 compile profile rc=$?"
+  if [ -f logs/r4/phase2_compile.json ]; then
+    cp -f logs/r4/phase2_compile.json results/r4/
+    commit_paths "r4 queue harvest: phase2 compile profile" results/r4/phase2_compile.json
+  fi
 fi
 
-# --- lv_traj columns -------------------------------------------------------
-run 2400 funnel_dis_lv_traj target=funnel solver=dis loss.method=lv_traj \
+# --- production wall-clock probe of the fast path at current defaults ----
+run 1200 funnel_fast_prod_probe target=funnel solver=dis \
+  train_steps=3000 eval_batch_size=2000 eval_init=False \
+  eval_interval=3000 plot_results=False
+
+# --- mw columns --------------------------------------------------------------
+run 2400 mw_dis_kl_ito target=mw solver=dis loss.method=kl_ito $GRID_ARGS
+run 2400 mw_dis_lv_traj target=mw solver=dis loss.method=lv_traj \
   loss.traj_per_sample=8 train_batch_size=256 $GRID_ARGS
+
+# --- dw columns (expensive evals: d=1 Sinkhorn on chunked XLA) ---------------
+run 3000 dw_shift_dis_kl_ito target=dw_shift solver=dis loss.method=kl_ito $GRID_ARGS
 run 3000 dw_shift_dis_lv_traj target=dw_shift solver=dis loss.method=lv_traj \
   loss.traj_per_sample=8 train_batch_size=256 $GRID_ARGS
-run 3000 mw_dis_lv_traj target=mw solver=dis loss.method=lv_traj \
-  loss.traj_per_sample=8 train_batch_size=256 $GRID_ARGS
 
-# --- Cox from the standard pipeline (800-step eval default; ~2h) ----------
-run 9000 cox_whitened_60k target=cox +target.use_whitened=True solver=dis \
-  train_steps=60000 train_batch_size=1024 eval_batch_size=100000 \
-  eval_init=False eval_interval=20000
+# --- stragglers (VERDICT-r2 item 8) ----------------------------------------
+run 2400 mw_50d_dis target=mw_50d solver=dis $GRID_ARGS
+run 1800 rings_dis_lv target=rings solver=dis $GRID_ARGS
+run 1800 img_dis_lv target=img solver=dis train_steps=10000 \
+  eval_init=False eval_interval=10000
+if [ $(( HARD_STOP - $(now) )) -gt 4200 ]; then
+  run 3600 rosenbrock_dis_60k target=rosenbrock solver=dis $GRID_ARGS
+fi
 
-# --- nice_smooth 196-d cell (~2.5h: score-guided control on the flow) -----
-if [ -f logs/r4/NICE_SMOOTH_VALIDATED ] || [ -f logs/r3/NICE_SMOOTH_VALIDATED ]; then
+# --- multi-hour cells: only when the FULL budget fits (a timeout here is
+# wasted chip time AND trips the wedge heuristic) ----------------------------
+if [ $(( HARD_STOP - $(now) )) -gt 9000 ]; then
+  run 8400 cox_whitened_60k target=cox +target.use_whitened=True solver=dis \
+    train_steps=60000 train_batch_size=1024 eval_batch_size=100000 \
+    eval_init=False eval_interval=20000
+fi
+if [ $(( HARD_STOP - $(now) )) -gt 11400 ] && \
+   { [ -f logs/r4/NICE_SMOOTH_VALIDATED ] || [ -f logs/r3/NICE_SMOOTH_VALIDATED ] || \
+     [ -f results/r4/NICE_SMOOTH_VALIDATED ]; }; then
   run 10800 nice_smooth_dis_lv target=nice_smooth solver=dis \
     eval_init=False eval_interval=20000
 fi
 
-# --- stragglers (VERDICT-r2 item 8) ----------------------------------------
-run 2400 mw_50d_dis target=mw_50d solver=dis $GRID_ARGS
-run 3600 rosenbrock_dis_60k target=rosenbrock solver=dis $GRID_ARGS
-run 2400 rings_dis_lv target=rings solver=dis $GRID_ARGS
-run 2400 img_dis_lv target=img solver=dis train_steps=10000 \
-  eval_init=False eval_interval=10000
-
 # --- d=1 Pallas Sinkhorn zero-padding probes (VERDICT r4 #7) ----------------
-# Run LAST: the padded launch shapes are identical to the d=2 stages that
-# already passed on this chip (padding happens before pallas_call), so
-# risk is low — but the round-3 d=1 incident killed the RELAY, so keep
-# any residual risk away from the cells and leave >1h of margin before
-# the driver's round-end bench. Quick-abort: a failed stage stops the
-# sequence; NEVER loop-retry.
-if [ ! -f logs/r4/PALLAS_D1_OK ] && \
+# MANUAL OPT-IN ONLY (touch logs/r4/RUN_D1): the padded launch shapes are
+# identical to the validated d=2 stages, but the round-3 d=1 incident
+# killed the RELAY and a repeat before the driver's round-end bench would
+# null BENCH_r04. Quick-abort: a failed stage stops the sequence; NEVER
+# loop-retry.
+if [ -f logs/r4/RUN_D1 ] && [ ! -f logs/r4/PALLAS_D1_OK ] && \
    [ $(( HARD_STOP - $(now) )) -gt 2400 ]; then
   d1_ok=1
   for stage in single_d1 grid_d1 bench_d1; do
@@ -198,8 +249,12 @@ if [ ! -f logs/r4/PALLAS_D1_OK ] && \
     say "d1 probe stage=$stage rc=$rc"
     if [ $rc -ne 0 ]; then d1_ok=0; break; fi
   done
-  [ $d1_ok -eq 1 ] && touch logs/r4/PALLAS_D1_OK && \
+  if [ $d1_ok -eq 1 ]; then
+    touch logs/r4/PALLAS_D1_OK
+    cp -f logs/r4/pallas_d1_probe.log results/r4/ 2>/dev/null
+    commit_paths "r4: d=1 pallas probe log (all stages OK)" results/r4/pallas_d1_probe.log
     say "ALL d1 stages OK — flip sinkhorn_pallas.D1_HARDWARE_VALIDATED"
+  fi
 fi
 
 touch logs/r4/QUEUE_DONE
