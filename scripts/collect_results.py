@@ -206,17 +206,82 @@ def seed_table(*roots: str) -> str:
 START, END = "<!-- GRID_TABLE_START -->", "<!-- GRID_TABLE_END -->"
 SEED_START, SEED_END = "<!-- SEED_TABLE_START -->", "<!-- SEED_TABLE_END -->"
 
+STAR_FOOTNOTE = (
+    "\\* finite-filtered LB-Itô (the unfiltered reference-parity "
+    "mean is −inf: ≥1 of ~100k eval trajectories diverged; count "
+    "in `eval/n_nonfinite_rnd`). Identical to the unfiltered mean "
+    "whenever no trajectory diverges."
+)
+
+
+def _parse_rows(block: str) -> dict[str, str]:
+    """Row-name -> full rendered '| name | ... |' line from a table block."""
+    rows = {}
+    for line in block.splitlines():
+        line = line.strip()
+        if not line.startswith("|") or line.startswith("|---") \
+                or line.startswith("| Run") or line.startswith("| Cell"):
+            continue
+        name = line.split("|")[1].strip()
+        rows[name] = line
+    return rows
+
+
+def _merge_grid(old_block: str, roots: list[str]) -> str:
+    """Merge freshly-computed rows over the previously rendered ones.
+
+    The rendered GRID_TABLE is the only durable record of cells whose raw
+    metrics.jsonl died with a VM reboot (logs/ is untracked; see CLAUDE.md
+    round-4 notes), so a refresh must never drop rows it cannot recompute:
+    old rows survive verbatim unless a run of the same name exists under
+    the current roots.
+    """
+    rows = _parse_rows(old_block)
+    rows.update(_parse_rows(table(*roots)))
+    lines = ["| Run | " + " | ".join(label for _, label in KEYS) + " |",
+             "|" + "---|" * (len(KEYS) + 1)]
+    lines += [rows[name] for name in sorted(rows)]
+    if any("\\*" in line for line in lines[2:]):
+        lines += ["", STAR_FOOTNOTE]
+    return "\n".join(lines)
+
+
+def _merge_seed(old_block: str, roots: list[str]) -> str:
+    """Merge seed-table rows; a recomputed row wins only when it aggregates
+    at least as many replicates as the rendered one (raw metrics for old
+    replicates may no longer exist, making a recomputed row a regression).
+    """
+    import re
+
+    def n_of(name: str) -> int:
+        match = re.search(r"\((\d+)\)$", name)
+        return int(match.group(1)) if match else 0
+
+    old = _parse_rows(old_block)
+    new = _parse_rows(seed_table(*roots))
+    base = lambda name: re.sub(r"\s*\(\d+\)$", "", name)  # noqa: E731
+    rows = {base(k): (k, v) for k, v in old.items()}
+    for k, v in new.items():
+        b = base(k)
+        if b not in rows or n_of(k) >= n_of(rows[b][0]):
+            rows[b] = (k, v)
+    lines = ["| Cell (n seeds) | "
+             + " | ".join(label for _, label in KEYS) + " |",
+             "|" + "---|" * (len(KEYS) + 1)]
+    lines += [rows[b][1] for b in sorted(rows)]
+    return "\n".join(lines)
+
 
 def update_results(roots: list[str], results_md: Path):
-    """Rewrite the marked grid/seed-table blocks in RESULTS.md."""
+    """Merge fresh runs into the marked grid/seed-table blocks in RESULTS.md."""
     text = results_md.read_text()
     head, rest = text.split(START, 1)
-    _, tail = rest.split(END, 1)
-    text = head + START + "\n" + table(*roots) + "\n" + END + tail
+    old_block, tail = rest.split(END, 1)
+    text = head + START + "\n" + _merge_grid(old_block, roots) + "\n" + END + tail
     if SEED_START in text:
         head, rest = text.split(SEED_START, 1)
-        _, tail = rest.split(SEED_END, 1)
-        text = head + SEED_START + "\n" + seed_table(*roots) + "\n" \
+        old_block, tail = rest.split(SEED_END, 1)
+        text = head + SEED_START + "\n" + _merge_seed(old_block, roots) + "\n" \
             + SEED_END + tail
     results_md.write_text(text)
 
@@ -226,14 +291,14 @@ if __name__ == "__main__":
 
     parser = argparse.ArgumentParser()
     parser.add_argument(
-        "roots", nargs="*", default=["logs/r2", "logs/r3"],
+        "roots", nargs="*", default=["results/r4", "logs/r4"],
     )
     parser.add_argument(
         "--update-results", action="store_true",
-        help="rewrite the marked grid-table block in RESULTS.md",
+        help="merge fresh runs into the marked grid-table block in RESULTS.md",
     )
     args = parser.parse_args()
-    roots = args.roots or ["logs/r2", "logs/r3"]
+    roots = args.roots or ["results/r4", "logs/r4"]
     if args.update_results:
         update_results(roots, Path(__file__).parents[1] / "RESULTS.md")
     print(table(*roots))
