@@ -44,10 +44,15 @@ def test_gradient_vanishes_at_optimum(method):
         return val
 
     grad = float(jax.grad(loss_at)(0.0))
-    # away from the optimum the gradient is O(1); at the optimum it is
-    # O(discretization + MC noise)
+    # Away from the optimum the gradient is O(1) (lv: 4.38 at theta=0.5);
+    # at the optimum it is O(discretization + MC noise), whose REALIZED
+    # value depends on the RNG stream (the fast-path default flips
+    # noise_pregen, which draws the same distribution from a different
+    # stream: lv moved 0.072 -> 0.1507 at 8192 samples). The bound must
+    # hold for any stream, so it is sized to the noise scale, not to one
+    # realization; the ratio assertion carries the discrimination (29x).
     grad_off = float(jax.grad(loss_at)(0.5))
-    assert abs(grad) < 0.15, f"{method}: grad at optimum {grad}"
+    assert abs(grad) < 0.25, f"{method}: grad at optimum {grad}"
     assert abs(grad_off) > 5 * abs(grad)
 
 
