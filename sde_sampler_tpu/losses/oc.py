@@ -193,10 +193,17 @@ class BaseOCLoss:
         # Phase-1 simulation backend: "xla" = lax.scan; "pallas" = the
         # fused rollout kernel (ops/rollout_pallas) — the whole rollout in
         # one Mosaic launch. The kernel beats the scan standalone (2.8 vs
-        # 5.9 ms at the flagship shape, hardware-measured r3) but XLA
-        # currently compiles the differentiable phase-2 ~3x slower around
-        # the opaque custom call, so "auto" resolves to the scan for
-        # TRAINING; the kernel's clean win is the eval rollout (pure sim).
+        # 5.9 ms at the flagship shape, hardware-measured r3), but the
+        # FULL train step is ~2x slower around it: 15.9 vs 8.15 ms/step
+        # on-chip (results/r4/phase2_compile.json; scripts/
+        # profile_phase2_compile.py). Root cause is steady-state, not
+        # compile time (pallas first-step compiled FASTER there, 15.1 vs
+        # 22.5 s): the opaque custom call is a fusion barrier, so the
+        # recorded trajectory must be fully materialized in the kernel's
+        # layout and re-read by phase 2 / the metrics path, where the
+        # scan's rollout fuses into its consumers. Hence "auto" resolves
+        # to the scan for TRAINING; the kernel's clean win is the eval /
+        # bench rollout (pure sim, trajectory consumed once).
         # Mesh runs always keep the scan (pallas under pjit not wired).
         if sim_backend not in ("auto", "xla", "pallas"):
             raise ValueError(f"Unknown sim_backend {sim_backend}.")
