@@ -225,6 +225,16 @@ if [ $(( HARD_STOP - $(now) )) -gt 9000 ]; then
     train_steps=60000 train_batch_size=1024 eval_batch_size=100000 \
     eval_init=False eval_interval=20000
 fi
+if [ $(( HARD_STOP - $(now) )) -gt 12600 ] && \
+   [ ! -f logs/r4/NICE_SMOOTH_VALIDATED ] && [ ! -f logs/r3/NICE_SMOOTH_VALIDATED ] && \
+   [ ! -f results/r4/NICE_SMOOTH_VALIDATED ]; then
+  # The marker lives in reboot-wiped logs/; regenerate it (CPU-only,
+  # ~3-5 min, writes logs/r4/NICE_SMOOTH_VALIDATED itself on ALL OK).
+  say "START validate_nice_smooth (marker regen)"
+  timeout 900 python bin/validate_nice_smooth.py \
+    > logs/r4/validate_nice_smooth.log 2>&1
+  say "DONE validate_nice_smooth rc=$?"
+fi
 if [ $(( HARD_STOP - $(now) )) -gt 11400 ] && \
    { [ -f logs/r4/NICE_SMOOTH_VALIDATED ] || [ -f logs/r3/NICE_SMOOTH_VALIDATED ] || \
      [ -f results/r4/NICE_SMOOTH_VALIDATED ]; }; then
