@@ -283,8 +283,11 @@ def main():
         env.pop("PYTHONPATH", None)
         env["JAX_PLATFORMS"] = "cpu"
         env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+        # The dp8 leg runs the PRODUCTION config — fast path included
+        # (VERDICT r4 #7: correctness under a mesh is dryrun-covered; the
+        # driver artifact should match what production actually runs).
         cmd = [sys.executable, str(Path(__file__).resolve()),
-               "--n-devices", "8", "--skip-bf16", "--no-scaling", "--no-fast",
+               "--n-devices", "8", "--skip-bf16", "--no-scaling",
                "--iters", "4", "--batch", "512", "--em-steps", "20",
                "--steps-per-call", "2"]
         try:

@@ -36,10 +36,17 @@ commit_paths() {
 }
 
 harvest() {
+  # Only commit cells that actually produced metrics (advisor r4: a cell
+  # that died pre-metrics must not create a results/ dir that the
+  # skip-if-exists gate then treats as a completed cell).
   local name="$1"
   [ -d "logs/r4/$name" ] || return 0
+  if [ ! -s "logs/r4/$name/metrics.jsonl" ]; then
+    say "harvest $name: no metrics.jsonl — not committing"
+    return 0
+  fi
   mkdir -p "results/r4/$name"
-  cp -f "logs/r4/$name/metrics.jsonl" "results/r4/$name/" 2>/dev/null
+  cp -f "logs/r4/$name/metrics.jsonl" "results/r4/$name/"
   local f
   for f in "logs/r4/$name"/*.yaml; do
     [ -f "$f" ] && cp -f "$f" "results/r4/$name/"
@@ -92,8 +99,13 @@ if [ ! -f data/aladip_eval.npy ] && \
   say "START gen_aladip_eval (cap ${cap}s)"
   timeout "$cap" python scripts/gen_aladip_eval.py \
     > logs/r4/gen_aladip_eval.log 2>&1
-  say "DONE gen_aladip_eval rc=$?"
-  if [ -f data/aladip_eval.npy ]; then
+  rc=$?
+  say "DONE gen_aladip_eval rc=$rc"
+  # rc gate + load sanity (advisor r4): the generator itself now writes
+  # atomically (tmp + os.replace), so an existing file is whole; still,
+  # only commit on a clean exit and a parseable array.
+  if [ "$rc" -eq 0 ] && [ -f data/aladip_eval.npy ] && \
+     python -c "import numpy as np; a=np.load('data/aladip_eval.npy', mmap_mode='r'); assert a.ndim==2 and a.shape[0]>1000" 2>/dev/null; then
     tail -c 4000 logs/r4/gen_aladip_eval.log > results/r4/gen_aladip_eval.log.tail
     commit_paths "r4: AlaDip reference eval set (ULA on chip)" \
       data/aladip_eval.npy results/r4/gen_aladip_eval.log.tail

@@ -213,6 +213,20 @@ STAR_FOOTNOTE = (
     "whenever no trajectory diverges."
 )
 
+# Rows carrying a permanent caveat (VERDICT r4 #5: no unannotated
+# known-degenerate rows in the published table). Keyed by run name;
+# rendered with a dagger suffix + the footnote below.
+DAGGER_ROWS = {"nice_dis_lv"}
+DAGGER_FOOTNOTE = (
+    "&dagger; known-degenerate target, NOT a sampler failure: this row's "
+    "flow is the round-2 sharp synthetic NICE checkpoint whose pixel-noise "
+    "pathology was root-caused in round 3 (noise baked into 4000 fixed "
+    "dataset points ⇒ the flow memorizes sub-entropy slabs; see the "
+    "nice_dis_lv discussion below). The tractable replacement target is "
+    "`nice_smooth` (validated flow, `bin/validate_nice_smooth.py`); its "
+    "60k-step cell becomes the primary NICE row when it lands."
+)
+
 
 def _parse_rows(block: str) -> dict[str, str]:
     """Row-name -> full rendered '| name | ... |' line from a table block."""
@@ -222,7 +236,7 @@ def _parse_rows(block: str) -> dict[str, str]:
         if not line.startswith("|") or line.startswith("|---") \
                 or line.startswith("| Run") or line.startswith("| Cell"):
             continue
-        name = line.split("|")[1].strip()
+        name = line.split("|")[1].strip().replace("&dagger;", "")
         rows[name] = line
     return rows
 
@@ -240,9 +254,15 @@ def _merge_grid(old_block: str, roots: list[str]) -> str:
     rows.update(_parse_rows(table(*roots)))
     lines = ["| Run | " + " | ".join(label for _, label in KEYS) + " |",
              "|" + "---|" * (len(KEYS) + 1)]
-    lines += [rows[name] for name in sorted(rows)]
+    for name in sorted(rows):
+        line = rows[name]
+        if name in DAGGER_ROWS and "&dagger;" not in line:
+            line = line.replace(f"| {name} |", f"| {name}&dagger; |", 1)
+        lines.append(line)
     if any("\\*" in line for line in lines[2:]):
         lines += ["", STAR_FOOTNOTE]
+    if any("&dagger;" in line for line in lines[2:]):
+        lines += ["", DAGGER_FOOTNOTE]
     return "\n".join(lines)
 
 

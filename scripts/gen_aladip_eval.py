@@ -21,6 +21,7 @@ Usage: python scripts/gen_aladip_eval.py [--chains 4096] [--steps 20000]
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 from pathlib import Path
@@ -134,7 +135,13 @@ def main():
         f"phi range [{float(phi.min()):.2f}, {float(phi.max()):.2f}]"
     )
     args.out.parent.mkdir(parents=True, exist_ok=True)
-    np.save(args.out, samples.astype(np.float32))
+    # Atomic write: np.save is not atomic and a timeout/SIGKILL mid-write
+    # would leave a truncated .npy that skip-if-exists gates then trust
+    # forever (advisor r4). Write a sibling tmp and os.replace into place.
+    tmp = args.out.with_name(args.out.stem + ".tmp.npy")
+    np.save(tmp, samples.astype(np.float32))
+    np.load(tmp, mmap_mode="r")  # sanity: parseable header before publish
+    os.replace(tmp, args.out)
     print(f"wrote {args.out} shape {samples.shape}")
 
 

@@ -388,8 +388,19 @@ class AlaDip(Distribution):
         self._score_fn = None  # exact autodiff via the base-class fallback
 
     def phi_psi(self, samples: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
-        """Backbone (phi, psi) dihedrals, computed natively in JAX
-        (reference uses mdtraj on host, aladip.py plots section)."""
+        """Backbone (phi, psi) dihedrals in the standard IUPAC/mdtraj
+        convention (reference uses mdtraj on host, aladip.py plots
+        section).
+
+        aladip_transform.dihedral uses a convention offset by pi from
+        IUPAC (its b0 points 0->1; fine for the z-matrix, which only
+        needs internal consistency — the committed eval set's z
+        coordinates depend on it, so it must NOT change). The +pi wrap
+        below maps to the standard convention: the committed minimized
+        structure then reads (phi, psi) = (-146 deg, +150 deg) — the C5
+        extended conformation, a known ff99-family vacuum minimum —
+        making the Ramachandran plots comparable to published maps
+        (round-5 fix; found by the basin-structure validation test)."""
         from .aladip_transform import dihedral
 
         pos, _ = self._tf.forward(jnp.asarray(samples))
@@ -397,7 +408,9 @@ class AlaDip(Distribution):
                        pos[..., 14, :])
         psi = dihedral(pos[..., 6, :], pos[..., 8, :], pos[..., 14, :],
                        pos[..., 16, :])
-        return phi, psi
+        # (raw + pi) wrapped to [-pi, pi)  ==  mod(raw, 2pi) - pi
+        pi = jnp.pi
+        return jnp.mod(phi, 2 * pi) - pi, jnp.mod(psi, 2 * pi) - pi
 
     def unnorm_log_prob(self, x: jnp.ndarray) -> jnp.ndarray:
         return self._log_prob_fn(x)

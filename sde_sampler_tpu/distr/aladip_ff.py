@@ -301,8 +301,14 @@ def _safe_norm(v):
     return jnp.sqrt((v * v).sum(-1) + _EPS_SQ)
 
 
-def energy_kj(pos: jnp.ndarray) -> jnp.ndarray:
-    """AMBER vacuum energy in kJ/mol. pos: (..., 22, 3) in nm.
+def energy_terms(pos: jnp.ndarray) -> dict:
+    """Per-term AMBER vacuum energy decomposition in kJ/mol.
+
+    pos: (..., 22, 3) in nm. Returns {"bond", "angle", "dihedral",
+    "nb14", "nb"} — `energy_kj` is their sum. Exposed separately for the
+    physics-validation tests (per-term magnitude sanity at the minimized
+    structure; VERDICT r4: in-env mitigation for the missing OpenMM
+    cross-check).
 
     All distance/angle math is epsilon-guarded so both the energy AND its
     gradient are finite for every input geometry (regularize_energy caps
@@ -341,7 +347,22 @@ def energy_kj(pos: jnp.ndarray) -> jnp.ndarray:
         s6 = (sigma * sigma / d2) ** 3
         return (4.0 * eps * (s6 * s6 - s6) + qq / jnp.sqrt(d2)).sum(-1)
 
-    return e_bond + e_ang + e_dih + nb(t["pair14"]) + nb(t["pair"])
+    return {
+        "bond": e_bond,
+        "angle": e_ang,
+        "dihedral": e_dih,
+        "nb14": nb(t["pair14"]),
+        "nb": nb(t["pair"]),
+    }
+
+
+def energy_kj(pos: jnp.ndarray) -> jnp.ndarray:
+    """AMBER vacuum energy in kJ/mol. pos: (..., 22, 3) in nm."""
+    terms = energy_terms(pos)
+    return (
+        terms["bond"] + terms["angle"] + terms["dihedral"]
+        + terms["nb14"] + terms["nb"]
+    )
 
 
 def regularize_energy(

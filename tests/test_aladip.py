@@ -230,3 +230,112 @@ def test_jax_aladip_finite_on_all_of_R60(jax_aladip):
     # far out-of-domain is heavily suppressed vs near-anchor
     z0 = jax.random.normal(jax.random.PRNGKey(12), (32, 60)) * 0.3
     assert float(lp.max()) < float(jax_aladip.unnorm_log_prob(z0).min())
+
+
+# --- physics validation (VERDICT r4 #3): in-env mitigations for the
+# missing OpenMM cross-check — the energy must behave like a molecular
+# mechanics potential, not merely be finite. ---------------------------------
+
+def _rotation_matrix(key):
+    """Uniform random rotation via QR of a Gaussian matrix (det fixed +1)."""
+    a = jax.random.normal(key, (3, 3))
+    q, r = jnp.linalg.qr(a)
+    q = q * jnp.sign(jnp.diagonal(r))  # unique QR => Haar-distributed
+    return q * jnp.linalg.det(q)  # flip improper rotations
+
+
+def test_amber_energy_rigid_motion_invariance():
+    """E(R x + t) == E(x): the vacuum energy depends only on internal
+    geometry. Checked at the minimized structure and at perturbed ones
+    (reference ground truth: OpenMM is trivially invariant; this pins the
+    clean-room implementation to the same symmetry)."""
+    from sde_sampler_tpu.distr import aladip_ff as ff
+
+    ref = jnp.asarray(np.load("data/position_min_energy.npy").reshape(22, 3))
+    keys = jax.random.split(jax.random.PRNGKey(7), 8)
+    structs = [ref] + [
+        ref + 0.02 * jax.random.normal(k, (22, 3)) for k in keys[:3]
+    ]
+    for i, pos in enumerate(structs):
+        e0 = float(ff.energy_kj(pos))
+        for j, k in enumerate(keys[3:]):
+            rot = _rotation_matrix(k)
+            t = jax.random.normal(jax.random.fold_in(k, 1), (3,)) * 5.0
+            e1 = float(ff.energy_kj(pos @ rot.T + t))
+            # f32 arithmetic: ~1e-6 relative roundoff on kJ/mol sums
+            assert abs(e1 - e0) < 1e-3 + 1e-5 * abs(e0), (i, j, e0, e1)
+
+
+def test_amber_energy_decomposition_at_minimum():
+    """Per-term magnitudes at the minimized structure look like a real
+    MM minimum: tiny positive harmonic strain (bond/angle), moderate
+    torsional energy, attractive total nonbonded — and the terms sum to
+    energy_kj. Published vacuum ff99-family alanine-dipeptide minima have
+    bond strain of a few kJ/mol and angle strain of tens; order-of-
+    magnitude bands are asserted, not exact values (no OpenMM in-env)."""
+    from sde_sampler_tpu.distr import aladip_ff as ff
+
+    ref = jnp.asarray(np.load("data/position_min_energy.npy").reshape(22, 3))
+    terms = {k: float(v) for k, v in ff.energy_terms(ref).items()}
+    total = float(ff.energy_kj(ref))
+    assert abs(sum(terms.values()) - total) < 1e-6 * max(1.0, abs(total))
+    # harmonic terms are non-negative by construction and small at a minimum
+    assert 0.0 <= terms["bond"] < 20.0, terms
+    assert 0.0 <= terms["angle"] < 60.0, terms
+    # AMBER torsion form is a sum of k*(1+cos(...)) >= 0; at the C7eq-like
+    # minimum it sits well below the fully-eclipsed worst case
+    assert 0.0 <= terms["dihedral"] < 100.0, terms
+    # net nonbonded interaction is attractive at a bound minimum
+    assert terms["nb"] < 0.0, terms
+    # total is dominated by the nonbonded terms
+    assert total < 0.0, (terms, total)
+
+
+def test_amber_energy_gradient_small_at_minimum():
+    """The committed minimized structure is (near) a stationary point of
+    THIS implementation: per-atom force magnitudes are tiny relative to
+    the forces at thermally perturbed geometries."""
+    from sde_sampler_tpu.distr import aladip_ff as ff
+
+    ref = jnp.asarray(np.load("data/position_min_energy.npy").reshape(22, 3))
+    g0 = jax.grad(lambda p: ff.energy_kj(p))(ref)
+    gn0 = float(jnp.abs(g0).max())
+    pert = ref + 0.01 * jax.random.normal(jax.random.PRNGKey(5), (22, 3))
+    gn1 = float(jnp.abs(jax.grad(lambda p: ff.energy_kj(p))(pert)).max())
+    assert gn0 < 0.15 * gn1, (gn0, gn1)
+
+
+def test_aladip_eval_set_ramachandran_basins(jax_aladip):
+    """Basin-structure sanity of the committed chip-generated eval set
+    against published alanine-dipeptide Ramachandran maps (vacuum/implicit
+    ff99-family): the beta/C7eq and alpha_R basins at phi<0 carry the
+    overwhelming majority of the population, and the sterically forbidden
+    region around (phi, psi) ~ (0, 0) is essentially empty."""
+    import pathlib
+
+    p = pathlib.Path("data/aladip_eval.npy")
+    if not p.exists():
+        pytest.skip("chip-generated eval set not present")
+    z = jnp.asarray(np.load(p)[:20000])
+    phi, psi = jax_aladip.phi_psi(z)
+    phi = np.degrees(np.asarray(phi))
+    psi = np.degrees(np.asarray(psi))
+    assert np.isfinite(phi).all() and np.isfinite(psi).all()
+    # The ULA generator uses uniform dihedral inits for deliberate basin
+    # COVERAGE (chains stay in their local basin), so populations are not
+    # Boltzmann weights — but every sample must live in a published
+    # vacuum basin and the sterically forbidden regions must be empty.
+    # Known vacuum ff99-family basins: C5/C7eq/alpha_R at phi<0
+    # (majority) and C7ax near phi ~ +70 (distinct minority basin).
+    assert 0.5 < (phi < 0).mean() < 0.95, (phi < 0).mean()
+    c7ax = ((phi > 20) & (phi < 110)).mean()
+    assert 0.02 < c7ax < 0.45, c7ax
+    # steric-clash corridor around phi ~ 0 is essentially empty
+    assert (np.abs(phi) < 15).mean() < 0.01
+    # ... as is the never-populated phi ~ +130..+180 strip
+    assert (phi > 120).mean() < 0.02
+    # the dominant phi<0 region carries both C5/C7eq (psi high) and
+    # alpha-like (psi near 0..-60) structure
+    neg = phi < 0
+    assert ((psi > 60) & neg).mean() > 0.15
+    assert np.isfinite(psi).all()
