@@ -8,11 +8,15 @@ wedges the tunneled TPU for 15-90 min (CLAUDE.md). Stages:
     2 grid     multi-block grid, medium shapes, compare vs the XLA path
     3 bench    100k x 100k softmin + full Sinkhorn timing vs the XLA path
 
-d=1 stages (single_d1 / grid_d1 / bench_d1) validate the zero-column
-padding path (ops/sinkhorn_pallas._grid_call): the raw d=1 kernel shape
-wedged the chip AND killed the relay on 2026-08-17, so the padded shape
-must pass all three stages on hardware before D1_HARDWARE_VALIDATED may
-be flipped (never flip first).
+d=1 stages (single_d1 / grid_d1 / bench_d1) validate the d=1 broadcast
+path (ops/sinkhorn_pallas._grid_call ships y as a (1, M) row; the kernel
+computes exact |x - y^T| on the VPU): the raw d=1 kernel shape wedged the
+chip AND killed the relay on 2026-08-17, and the round-5 zero-column
+padding attempt launched cleanly but failed parity (bf16 MXU cancellation
+— see D1_HARDWARE_VALIDATED in ops/sinkhorn_pallas.py). d=1 stages assert
+against host f64 ground truth, which also adjudicates whether the XLA
+path itself is accurate on hardware. All three stages must pass before
+D1_HARDWARE_VALIDATED may be flipped (never flip first).
 
 Usage: python scripts/pallas_probe.py <stage>
 """
@@ -42,6 +46,28 @@ def _data(n, m, d, seed=0):
     return x, y, dual
 
 
+def _f64_truth(x, y, dual, u, eps):
+    """Host float64 ground truth for softmin + transport (small shapes).
+
+    The correctness anchor for the d=1 stages: the round-5 probe showed
+    6.9e-2 pallas-vs-XLA softmin disagreement on hardware, and a
+    two-sided hardware comparison cannot tell WHICH side is wrong — the
+    bf16 MXU quadratic form fails for d=1 nearest-neighbor distances, and
+    whether XLA's (R,1)x(1,C) lowering shares that failure is a lowering
+    detail we must not assume. f64 on host adjudicates."""
+    xd, yd = np.asarray(x, np.float64), np.asarray(y, np.float64)
+    dd, ud = np.asarray(dual, np.float64), np.asarray(u, np.float64)
+    dist = np.sqrt(((xd[:, None, :] - yd[None, :, :]) ** 2).sum(-1))
+    z = (-dist + dd[None, :]) / eps
+    zmax = z.max(axis=1, keepdims=True)
+    softmin = eps * (
+        np.log(np.exp(z - zmax).sum(axis=1)) + zmax[:, 0]
+    )
+    plan = np.exp((-dist + ud[:, None] + dd[None, :]) / eps)
+    transport = float((plan * dist).sum())
+    return softmin, transport
+
+
 def _compare(n, m, d):
     import jax.numpy as jnp
     import numpy as np_
@@ -55,6 +81,7 @@ def _compare(n, m, d):
         np_.random.default_rng(1).normal(size=(n,)) * 0.01, jnp.float32
     )
     eps = 1e-2
+    f64_softmin, f64_transport = _f64_truth(x, y, dual, u, eps)
     print(f"launching pallas softmin n={n} m={m} d={d} ...", flush=True)
     pal = sp.softmin_pallas(x, y, dual, eps)
     sync(pal)  # real barrier (block_until_ready is a no-op on the relay)
@@ -64,8 +91,16 @@ def _compare(n, m, d):
         row_chunk=min(1024, n), col_chunk=min(8192, m),
     )
     diff = float(jnp.abs(ref - pal).max())
-    print(f"softmin max abs diff vs XLA: {diff:.3e}")
-    assert diff < 1e-3, "pallas softmin mismatch"
+    pal_f64 = float(np_.abs(np_.asarray(pal) - f64_softmin).max())
+    ref_f64 = float(np_.abs(np_.asarray(ref) - f64_softmin).max())
+    print(f"softmin max abs diff vs XLA: {diff:.3e} "
+          f"(pallas vs f64: {pal_f64:.3e}, xla vs f64: {ref_f64:.3e})")
+    # f64 is the primary correctness bar; the XLA cross-check stays a
+    # hard assert only where both sides compute identical arithmetic
+    # (d >= 2, hardware-validated bit parity)
+    assert pal_f64 < 1e-3, "pallas softmin wrong vs f64 truth"
+    if d >= 2:
+        assert diff < 1e-3, "pallas softmin mismatch"
 
     # the transport kernel must be launched by the staged probe too —
     # both kernels go to production when the stage gate passes
@@ -77,8 +112,17 @@ def _compare(n, m, d):
         row_chunk=min(1024, n), col_chunk=min(8192, m),
     )
     rel_t = abs(float(pal_t) - float(ref_t)) / max(abs(float(ref_t)), 1e-12)
-    print(f"transport rel diff vs XLA: {rel_t:.3e}")
-    assert rel_t < 1e-4, "pallas transport mismatch"
+    rel_pal_f64 = abs(float(pal_t) - f64_transport) / max(
+        abs(f64_transport), 1e-12
+    )
+    rel_ref_f64 = abs(float(ref_t) - f64_transport) / max(
+        abs(f64_transport), 1e-12
+    )
+    print(f"transport rel diff vs XLA: {rel_t:.3e} "
+          f"(pallas vs f64: {rel_pal_f64:.3e}, xla vs f64: {rel_ref_f64:.3e})")
+    assert rel_pal_f64 < 1e-3, "pallas transport wrong vs f64 truth"
+    if d >= 2:
+        assert rel_t < 1e-4, "pallas transport mismatch"
     print("OK")
 
 
@@ -116,6 +160,7 @@ def _bench(d: int):
     x, y, dual = _data(n, m, d)
     eps = 1e-2
 
+    outs = {}
     for name, fn in [
         ("pallas", lambda: sp.softmin_pallas(x, y, dual, eps)),
         ("xla", lambda: _softmin(x, y, dual, eps, p=2,
@@ -127,8 +172,31 @@ def _bench(d: int):
         for _ in range(3):
             out = fn()
         sync(out)
+        outs[name] = np.asarray(out)
         print(f"softmin[{name}] {n}x{m} d={d}: "
               f"{(time.time() - t0) / 3:.3f}s/iter")
+
+    # subsampled f64 correctness anchor (256 rows x full m, chunked on
+    # host) — at d=1 the XLA cross-check alone cannot adjudicate which
+    # side is wrong (see _f64_truth)
+    rows = np.random.default_rng(2).choice(n, size=256, replace=False)
+    xd = np.asarray(x, np.float64)[rows]
+    yd, dd = np.asarray(y, np.float64), np.asarray(dual, np.float64)
+    sm64 = np.empty(len(rows))
+    for i in range(0, len(rows), 64):
+        dist = np.sqrt(
+            ((xd[i:i + 64, None, :] - yd[None, :, :]) ** 2).sum(-1)
+        )
+        z = (-dist + dd[None, :]) / eps
+        zmax = z.max(axis=1, keepdims=True)
+        sm64[i:i + 64] = eps * (
+            np.log(np.exp(z - zmax).sum(axis=1)) + zmax[:, 0]
+        )
+    for name, arr in outs.items():
+        err = float(np.abs(arr[rows] - sm64).max())
+        print(f"softmin[{name}] vs f64 (256-row subsample): {err:.3e}")
+        if name == "pallas":
+            assert err < 1e-3, "pallas softmin wrong vs f64 truth"
 
     vals = {}
     for backend in ("xla", "pallas"):
@@ -144,7 +212,12 @@ def _bench(d: int):
         print(f"sinkhorn[{backend}] 20 iters: {time.time() - t0:.1f}s "
               f"value={vals[backend]:.4f} (pallas routed: {routed})")
     rel = abs(vals["pallas"] - vals["xla"]) / max(abs(vals["xla"]), 1e-12)
-    assert rel < 1e-5, f"pallas/xla sinkhorn mismatch: {vals} (rel {rel:.2e})"
+    # d=1: pallas computes exact |x-y| broadcasts while XLA runs the f32
+    # quadratic form, so bit parity is impossible by design — the f64
+    # subsample above is the correctness bar and the value-level parity
+    # tolerance is loose. d>=2: both sides run identical arithmetic.
+    tol = 1e-4 if d < 2 else 1e-5
+    assert rel < tol, f"pallas/xla sinkhorn mismatch: {vals} (rel {rel:.2e})"
 
 
 def stage_bench():

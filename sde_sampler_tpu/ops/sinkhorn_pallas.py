@@ -31,7 +31,17 @@ MAX_LANE_D = 128
 
 
 def _neg_dist_tile(x, y_c):
-    """-|x_i - y_j| for a (R, d) x (C, d) tile, via the MXU."""
+    """-|x_i - y_j| for a (R, d) x (C, d) tile, via the MXU.
+
+    d=1 special case (y arrives pre-transposed as a (1, C) row, see
+    `_grid_call`): a pure VPU broadcast |x - y^T|. The quadratic form is
+    UNUSABLE for d=1 on hardware — the MXU dot runs in bf16 passes, and
+    dense 1-D point sets have nearest-neighbor distances far below the
+    bf16 cancellation floor of x^2 + y^2 - 2xy (the round-5 staged probe
+    measured 6.9e-2 softmin error vs 8e-5 in interpret mode). The direct
+    difference is exact and needs no MXU at all."""
+    if x.shape[1] == 1 and y_c.shape[0] == 1:
+        return -jnp.abs(x - y_c)
     x_sq = (x * x).sum(axis=-1, keepdims=True)
     y_sq = (y_c * y_c).sum(axis=-1)
     sq = (
@@ -95,17 +105,24 @@ def _pad_to(arr, multiple, axis=0, fill=0.0):
     return jnp.pad(arr, widths, constant_values=fill)
 
 
-# Flip to True ONLY after the d=1 zero-padding path has passed the staged
-# hardware protocol (bin/pallas_probe.sh --d1: single-program, then gridded
-# parity, then bench) on a real chip. The first d=1 launch on hardware
-# (dw_shift 100k eval, round 3) wedged the chip AND killed the relay with
-# the classic Mosaic-hang signature — the host blocked indefinitely on the
-# kernel result; the degenerate (R, 1) x (1, C) contracted-dim MXU dot is
-# the suspected trigger (interpret-mode results are correct; the hang is
-# hardware-only). `_grid_call` now zero-pads d=1 inputs to d=2 (the
-# euclidean cost is invariant to a zero column), which removes the
-# degenerate dot — but per the round-3 protocol NO new kernel shape
-# launches on the shared chip without the staged probe first.
+# Flip to True ONLY after the d=1 path has passed the staged hardware
+# protocol (bin/pallas_probe.sh --d1: single-program, then gridded parity,
+# then bench) on a real chip. History:
+#   * round 3: the first d=1 launch (dw_shift 100k eval) wedged the chip
+#     AND killed the relay — the degenerate (R, 1) x (1, C) contracted-dim
+#     MXU dot was the suspected trigger.
+#   * round 5: the zero-column-padding fix (pad d=1 to d=2, keep the MXU
+#     quadratic form) launched CLEANLY on hardware (no wedge) but FAILED
+#     parity: softmin error 6.9e-2 vs XLA (8e-5 in interpret mode). Root
+#     cause: the MXU dot runs in bf16 passes, and d=1 nearest-neighbor
+#     distances sit far below the bf16 cancellation floor of the
+#     quadratic form, while XLA lowers the (R,1)x(1,C) contraction as an
+#     exact f32 broadcast multiply.
+#   * current fix: d=1 skips the MXU entirely — `_grid_call` ships y
+#     pre-transposed as a (1, M) row and `_neg_dist_tile` computes the
+#     exact |x - y^T| VPU broadcast. Per the round-3 protocol this new
+#     kernel variant does NOT launch on the shared chip without the
+#     staged probe first.
 D1_HARDWARE_VALIDATED = False
 
 
@@ -117,24 +134,29 @@ def pallas_applicable(n: int, m: int, d: int, p: int) -> bool:
 def _grid_call(kernel, x, y, row_vecs, col_vecs, *, eps, interpret):
     """Shared 2-D-grid launch: row_vecs are (n,1)-blocked per row block,
     col_vecs are (1,COL_CHUNK)-blocked per col chunk."""
-    if x.shape[1] == 1:
-        # Zero-column padding to d=2: |x_i - y_j| is unchanged (the extra
-        # coordinate contributes 0 to the squared sum) and the in-kernel
-        # MXU dot gets a non-degenerate contracted dim — see the
-        # D1_HARDWARE_VALIDATED note above pallas_applicable.
-        x = jnp.concatenate([x, jnp.zeros_like(x)], axis=1)
-        y = jnp.concatenate([y, jnp.zeros_like(y)], axis=1)
     n, d = x.shape
     x_pad = _pad_to(x, ROW_BLOCK)
-    y_pad = _pad_to(y, COL_CHUNK)
-    n_row_blocks = x_pad.shape[0] // ROW_BLOCK
-    n_col_chunks = y_pad.shape[0] // COL_CHUNK
-
     vmem = pltpu.VMEM if hasattr(pltpu, "VMEM") else None
     kw = {"memory_space": vmem} if vmem is not None else {}
+    if d == 1:
+        # d=1 layout: y ships pre-transposed as a (1, M) row so the kernel
+        # computes the exact |x - y^T| VPU broadcast — no MXU dot (bf16
+        # cancellation; see the D1_HARDWARE_VALIDATED note) and no
+        # in-kernel transpose. Padded y columns carry fill 0.0 paired with
+        # -inf col_vecs, so their contributions vanish exactly like padded
+        # y rows do on the d>=2 path.
+        y_pad = _pad_to(y.reshape(1, -1), COL_CHUNK, axis=1)
+        n_col_chunks = y_pad.shape[1] // COL_CHUNK
+        y_spec = pl.BlockSpec((1, COL_CHUNK), lambda i, j: (0, j), **kw)
+    else:
+        y_pad = _pad_to(y, COL_CHUNK)
+        n_col_chunks = y_pad.shape[0] // COL_CHUNK
+        y_spec = pl.BlockSpec((COL_CHUNK, d), lambda i, j: (j, 0), **kw)
+    n_row_blocks = x_pad.shape[0] // ROW_BLOCK
+
     in_specs = [
         pl.BlockSpec((ROW_BLOCK, d), lambda i, j: (i, 0), **kw),
-        pl.BlockSpec((COL_CHUNK, d), lambda i, j: (j, 0), **kw),
+        y_spec,
     ]
     args = [x_pad, y_pad]
     for vec in row_vecs:

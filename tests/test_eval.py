@@ -365,12 +365,15 @@ def test_sinkhorn_d1_xla_path_matches_dense():
     assert float(chunked) == pytest.approx(float(dense), rel=1e-3)
 
 
-def test_pallas_d1_padding_matches_xla_interpret():
-    """The d=1 zero-column padding path (ops/sinkhorn_pallas._grid_call)
-    must reproduce the XLA softmin/transport exactly: |x-y| is invariant
-    to a zero coordinate. Hardware validation of the padded shape goes
-    through bin/pallas_probe.sh single_d1/grid_d1/bench_d1 before
-    D1_HARDWARE_VALIDATED may flip."""
+def test_pallas_d1_broadcast_matches_f64_truth_interpret():
+    """The d=1 path (ops/sinkhorn_pallas._grid_call ships y as a (1, M)
+    row; the kernel computes exact |x - y^T| on the VPU — round-5 fix
+    after the zero-column-padding attempt failed hardware parity to bf16
+    MXU cancellation). Judged against host f64 ground truth, the same
+    bar the staged hardware probe uses; the XLA quadratic form's own
+    f32 cancellation (~1e-4 here) is reported but not the anchor.
+    Hardware validation goes through bin/pallas_probe.sh
+    single_d1/grid_d1/bench_d1 before D1_HARDWARE_VALIDATED may flip."""
     import jax.numpy as jnp
 
     from sde_sampler_tpu.eval.sinkhorn import _softmin, _transport_cost
@@ -383,17 +386,27 @@ def test_pallas_d1_padding_matches_xla_interpret():
     dual = jnp.asarray(rng.normal(size=(m,)) * 0.01, jnp.float32)
     u = jnp.asarray(rng.normal(size=(n,)) * 0.01, jnp.float32)
     eps = 1e-2
-    ref = _softmin(x, y, dual, eps, p=2, row_chunk=64, col_chunk=128)
+    xd, yd = np.asarray(x, np.float64), np.asarray(y, np.float64)
+    dd, ud = np.asarray(dual, np.float64), np.asarray(u, np.float64)
+    dist = np.abs(xd[:, None, 0] - yd[None, :, 0])
+    z = (-dist + dd[None, :]) / eps
+    zmax = z.max(axis=1, keepdims=True)
+    sm64 = eps * (np.log(np.exp(z - zmax).sum(axis=1)) + zmax[:, 0])
+    t64 = float((np.exp((-dist + ud[:, None] + dd[None, :]) / eps)
+                 * dist).sum())
+
     pal = sp.softmin_pallas(x, y, dual, eps, interpret=True)
-    # atol 1e-4: the kernel's quadratic-expansion distance
-    # (|x|^2+|y|^2-2xy) loses a few ulps to cancellation vs the XLA
-    # reference for near-coincident d=1 pairs; the probe gates hardware
-    # parity at 1e-3.
-    np.testing.assert_allclose(np.asarray(pal), np.asarray(ref), atol=1e-4)
+    # the broadcast path is exact up to f32 rounding of the inputs
+    np.testing.assert_allclose(np.asarray(pal), sm64, atol=2e-6)
+    pal_t = sp.transport_cost_pallas(x, y, u, dual, eps, interpret=True)
+    np.testing.assert_allclose(float(pal_t), t64, rtol=1e-5)
+    # the XLA quadratic form agrees with truth only to its cancellation
+    # floor — document the gap the pallas path closes
+    ref = _softmin(x, y, dual, eps, p=2, row_chunk=64, col_chunk=128)
+    assert float(np.abs(np.asarray(ref) - sm64).max()) < 1e-3
     ref_t = _transport_cost(x, y, u, dual, eps, p=2, row_chunk=64,
                             col_chunk=128)
-    pal_t = sp.transport_cost_pallas(x, y, u, dual, eps, interpret=True)
-    np.testing.assert_allclose(float(pal_t), float(ref_t), rtol=1e-4)
+    np.testing.assert_allclose(float(ref_t), t64, rtol=1e-3)
     # routing gate stays closed until the staged hardware probe passes
     assert not sp.D1_HARDWARE_VALIDATED
     assert not sp.pallas_applicable(n, m, 1, 2)
