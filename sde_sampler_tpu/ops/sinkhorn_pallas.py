@@ -30,30 +30,38 @@ COL_CHUNK = 2048
 MAX_LANE_D = 128
 
 
-def _neg_dist_tile(x, y_c):
+def _neg_dist_tile(x, y_c, hi_prec=False):
     """-|x_i - y_j| for a (R, d) x (C, d) tile, via the MXU.
 
-    d=1 special case (y arrives pre-transposed as a (1, C) row, see
-    `_grid_call`): a pure VPU broadcast |x - y^T|. The quadratic form is
-    UNUSABLE for d=1 on hardware — the MXU dot runs in bf16 passes, and
-    dense 1-D point sets have nearest-neighbor distances far below the
-    bf16 cancellation floor of x^2 + y^2 - 2xy (the round-5 staged probe
-    measured 6.9e-2 softmin error vs 8e-5 in interpret mode). The direct
-    difference is exact and needs no MXU at all."""
-    if x.shape[1] == 1 and y_c.shape[0] == 1:
-        return -jnp.abs(x - y_c)
+    hi_prec (the d=1-padded path): run the dot at Precision.HIGHEST
+    (6-pass f32-exact on the MXU). The DEFAULT bf16 passes are UNUSABLE
+    for d=1 — dense 1-D point sets have nearest-neighbor distances far
+    below the bf16 cancellation floor of x^2 + y^2 - 2xy (the round-5
+    staged probe measured 6.9e-2 softmin error vs 8e-5 in interpret
+    mode). At f32 precision the cancellation floor is ~2e-4, matching
+    the chunked-XLA evaluator's own hardware accuracy. The d >= 2
+    default path is untouched (hardware-validated bit parity with XLA).
+
+    (A pure-VPU |x - y^T| broadcast variant was tried first — exact to
+    1e-6 and parity-green at probe shapes, but the (R,1) lane-broadcast
+    hangs Mosaic at the 100k bench grid; see the round-5 notes.)"""
     x_sq = (x * x).sum(axis=-1, keepdims=True)
     y_sq = (y_c * y_c).sum(axis=-1)
     sq = (
         x_sq
         + y_sq[None, :]
-        - 2.0 * jnp.dot(x, y_c.T, preferred_element_type=jnp.float32)
+        - 2.0 * jnp.dot(
+            x, y_c.T,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST if hi_prec else None,
+        )
     )
     return -jnp.sqrt(jnp.maximum(sq, 0.0))
 
 
 def _softmin_kernel(
-    x_ref, y_ref, v_ref, out_ref, m_scr, s_scr, *, eps, n_col_chunks
+    x_ref, y_ref, v_ref, out_ref, m_scr, s_scr, *, eps, n_col_chunks,
+    hi_prec=False,
 ):
     j = pl.program_id(1)
 
@@ -62,7 +70,7 @@ def _softmin_kernel(
         m_scr[:] = jnp.full_like(m_scr, -jnp.inf)
         s_scr[:] = jnp.zeros_like(s_scr)
 
-    z = (_neg_dist_tile(x_ref[:], y_ref[:]) + v_ref[:]) / eps  # (R, C)
+    z = (_neg_dist_tile(x_ref[:], y_ref[:], hi_prec) + v_ref[:]) / eps
     m_run, s_run = m_scr[:], s_scr[:]
     m_new = jnp.maximum(m_run, z.max(axis=1, keepdims=True))
     m_safe = jnp.where(jnp.isfinite(m_new), m_new, 0.0)
@@ -77,7 +85,8 @@ def _softmin_kernel(
 
 
 def _transport_kernel(
-    x_ref, y_ref, u_ref, v_ref, out_ref, acc_scr, *, eps, n_col_chunks
+    x_ref, y_ref, u_ref, v_ref, out_ref, acc_scr, *, eps, n_col_chunks,
+    hi_prec=False,
 ):
     j = pl.program_id(1)
 
@@ -85,7 +94,7 @@ def _transport_kernel(
     def _init():
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    neg_dist = _neg_dist_tile(x_ref[:], y_ref[:])  # (R, C)
+    neg_dist = _neg_dist_tile(x_ref[:], y_ref[:], hi_prec)  # (R, C)
     plan = jnp.exp((neg_dist + u_ref[:] + v_ref[:]) / eps)
     acc_scr[:] = acc_scr[:] + (plan * (-neg_dist)).sum(
         axis=1, keepdims=True
@@ -118,11 +127,18 @@ def _pad_to(arr, multiple, axis=0, fill=0.0):
 #     distances sit far below the bf16 cancellation floor of the
 #     quadratic form, while XLA lowers the (R,1)x(1,C) contraction as an
 #     exact f32 broadcast multiply.
-#   * current fix: d=1 skips the MXU entirely — `_grid_call` ships y
-#     pre-transposed as a (1, M) row and `_neg_dist_tile` computes the
-#     exact |x - y^T| VPU broadcast. Per the round-3 protocol this new
-#     kernel variant does NOT launch on the shared chip without the
-#     staged probe first.
+#   * round 5 second attempt: a pure-VPU |x - y^T| broadcast (y shipped
+#     as a (1, M) row) — exact to 1e-6 vs f64 and parity-green at the
+#     single/grid probe shapes, but HANGS Mosaic at the 100k bench grid
+#     (host blocked >12 min with idle CPU; small grids of the identical
+#     block shapes complete fine). Killed per protocol, chip stayed
+#     healthy.
+#   * current fix: zero-column padding to d=2 + Precision.HIGHEST on the
+#     in-kernel dot (6-pass f32-exact MXU) — cancellation floor drops to
+#     ~2e-4, within the 1e-3 f64 bar and matching the chunked-XLA
+#     evaluator's own hardware accuracy. Per the round-3 protocol this
+#     variant does NOT launch on the shared chip without the staged
+#     probe first.
 D1_HARDWARE_VALIDATED = False
 
 
@@ -134,29 +150,26 @@ def pallas_applicable(n: int, m: int, d: int, p: int) -> bool:
 def _grid_call(kernel, x, y, row_vecs, col_vecs, *, eps, interpret):
     """Shared 2-D-grid launch: row_vecs are (n,1)-blocked per row block,
     col_vecs are (1,COL_CHUNK)-blocked per col chunk."""
+    hi_prec = x.shape[1] == 1
+    if hi_prec:
+        # Zero-column padding to d=2: |x_i - y_j| is unchanged (the extra
+        # coordinate contributes 0 to the squared sum) and the in-kernel
+        # MXU dot gets a non-degenerate contracted dim. The dot runs at
+        # Precision.HIGHEST on this path — see _neg_dist_tile and the
+        # D1_HARDWARE_VALIDATED note.
+        x = jnp.concatenate([x, jnp.zeros_like(x)], axis=1)
+        y = jnp.concatenate([y, jnp.zeros_like(y)], axis=1)
     n, d = x.shape
     x_pad = _pad_to(x, ROW_BLOCK)
+    y_pad = _pad_to(y, COL_CHUNK)
+    n_row_blocks = x_pad.shape[0] // ROW_BLOCK
+    n_col_chunks = y_pad.shape[0] // COL_CHUNK
+
     vmem = pltpu.VMEM if hasattr(pltpu, "VMEM") else None
     kw = {"memory_space": vmem} if vmem is not None else {}
-    if d == 1:
-        # d=1 layout: y ships pre-transposed as a (1, M) row so the kernel
-        # computes the exact |x - y^T| VPU broadcast — no MXU dot (bf16
-        # cancellation; see the D1_HARDWARE_VALIDATED note) and no
-        # in-kernel transpose. Padded y columns carry fill 0.0 paired with
-        # -inf col_vecs, so their contributions vanish exactly like padded
-        # y rows do on the d>=2 path.
-        y_pad = _pad_to(y.reshape(1, -1), COL_CHUNK, axis=1)
-        n_col_chunks = y_pad.shape[1] // COL_CHUNK
-        y_spec = pl.BlockSpec((1, COL_CHUNK), lambda i, j: (0, j), **kw)
-    else:
-        y_pad = _pad_to(y, COL_CHUNK)
-        n_col_chunks = y_pad.shape[0] // COL_CHUNK
-        y_spec = pl.BlockSpec((COL_CHUNK, d), lambda i, j: (j, 0), **kw)
-    n_row_blocks = x_pad.shape[0] // ROW_BLOCK
-
     in_specs = [
         pl.BlockSpec((ROW_BLOCK, d), lambda i, j: (i, 0), **kw),
-        y_spec,
+        pl.BlockSpec((COL_CHUNK, d), lambda i, j: (j, 0), **kw),
     ]
     args = [x_pad, y_pad]
     for vec in row_vecs:
@@ -173,7 +186,8 @@ def _grid_call(kernel, x, y, row_vecs, col_vecs, *, eps, interpret):
         )
 
     out = pl.pallas_call(
-        partial(kernel, eps=eps, n_col_chunks=n_col_chunks),
+        partial(kernel, eps=eps, n_col_chunks=n_col_chunks,
+                hi_prec=hi_prec),
         grid=(n_row_blocks, n_col_chunks),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((ROW_BLOCK, 1), lambda i, j: (i, 0), **kw),

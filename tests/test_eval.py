@@ -365,15 +365,15 @@ def test_sinkhorn_d1_xla_path_matches_dense():
     assert float(chunked) == pytest.approx(float(dense), rel=1e-3)
 
 
-def test_pallas_d1_broadcast_matches_f64_truth_interpret():
-    """The d=1 path (ops/sinkhorn_pallas._grid_call ships y as a (1, M)
-    row; the kernel computes exact |x - y^T| on the VPU — round-5 fix
-    after the zero-column-padding attempt failed hardware parity to bf16
-    MXU cancellation). Judged against host f64 ground truth, the same
-    bar the staged hardware probe uses; the XLA quadratic form's own
-    f32 cancellation (~1e-4 here) is reported but not the anchor.
-    Hardware validation goes through bin/pallas_probe.sh
-    single_d1/grid_d1/bench_d1 before D1_HARDWARE_VALIDATED may flip."""
+def test_pallas_d1_matches_f64_truth_interpret():
+    """The d=1 path (zero-column padding + Precision.HIGHEST dot — see
+    the attempt history at D1_HARDWARE_VALIDATED in
+    ops/sinkhorn_pallas.py). Judged against host f64 ground truth, the
+    same bar the staged hardware probe uses; the f32 quadratic form's
+    cancellation floor (~1e-4 at these shapes) bounds both pallas and
+    the XLA reference. Hardware validation goes through
+    bin/pallas_probe.sh single_d1/grid_d1/bench_d1 before
+    D1_HARDWARE_VALIDATED may flip."""
     import jax.numpy as jnp
 
     from sde_sampler_tpu.eval.sinkhorn import _softmin, _transport_cost
@@ -396,10 +396,11 @@ def test_pallas_d1_broadcast_matches_f64_truth_interpret():
                  * dist).sum())
 
     pal = sp.softmin_pallas(x, y, dual, eps, interpret=True)
-    # the broadcast path is exact up to f32 rounding of the inputs
-    np.testing.assert_allclose(np.asarray(pal), sm64, atol=2e-6)
+    # quadratic-form f32 cancellation bounds the accuracy; the staged
+    # hardware probe gates at the same 1e-3 bar vs f64
+    assert float(np.abs(np.asarray(pal) - sm64).max()) < 1e-3
     pal_t = sp.transport_cost_pallas(x, y, u, dual, eps, interpret=True)
-    np.testing.assert_allclose(float(pal_t), t64, rtol=1e-5)
+    np.testing.assert_allclose(float(pal_t), t64, rtol=1e-3)
     # the XLA quadratic form agrees with truth only to its cancellation
     # floor — document the gap the pallas path closes
     ref = _softmin(x, y, dual, eps, p=2, row_chunk=64, col_chunk=128)
