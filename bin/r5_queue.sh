@@ -58,6 +58,10 @@ harvest() {
   for f in "logs/r5/$name"/*.yaml; do
     [ -f "$f" ] && cp -f "$f" "results/r5/$name/"
   done
+  if [ -d "logs/r5/$name/plots" ]; then
+    mkdir -p "results/r5/$name/plots"
+    cp -f "logs/r5/$name/plots/"*.png "results/r5/$name/plots/" 2>/dev/null
+  fi
   [ -f "logs/r5/$name.log" ] && \
     tail -c 20000 "logs/r5/$name.log" > "results/r5/$name/run.log.tail"
   commit_paths "r5 queue harvest: $name" "results/r5/$name"
@@ -176,12 +180,6 @@ run 3000 dw_shift_dis_kl_ito target=dw_shift solver=dis loss.method=kl_ito $GRID
 run 3000 dw_shift_dis_lv_traj target=dw_shift solver=dis loss.method=lv_traj \
   loss.traj_per_sample=8 train_batch_size=256 $GRID_ARGS
 
-# --- stragglers --------------------------------------------------------------
-run 2400 mw_50d_dis target=mw_50d solver=dis ckpt_interval=20000 $GRID_ARGS
-run 1800 rings_dis_lv target=rings solver=dis $GRID_ARGS
-run 1800 img_dis_lv target=img solver=dis train_steps=10000 \
-  eval_init=False eval_interval=10000
-
 # --- cox bf16 step-time probe (VERDICT #6): measure the matmul-precision
 # delta on the one genuinely MXU-bound workload before the 60k cell.
 # 200 steps each, tiny eval; results land in the harvested metrics. ----------
@@ -194,12 +192,22 @@ run 900 cox_bf16_probe_bf16 target=cox +target.use_whitened=True solver=dis \
   eval_init=False eval_interval=200 plot_results=False
 
 # --- cox 60k through the standard pipeline (VERDICT #6; ~2h measured in
-# r2). Only when the FULL budget fits. ---------------------------------------
-if [ $(( HARD_STOP - $(now) )) -gt 9000 ]; then
+# r2). Runs BEFORE the stragglers (reordered mid-round-5: with the r5
+# relaunch at 05:17 the original tail order would hit this gate with
+# <9000s left and silently drop the judge's explicit item #6; rings/img/
+# rosenbrock are the lower-priority trade). ckpt_interval keeps the
+# trained state on a timeout; the eval-only resume recipe recovers it. -------
+if [ $(( HARD_STOP - $(now) )) -gt 8700 ]; then
   run 8400 cox_whitened_60k target=cox +target.use_whitened=True solver=dis \
     train_steps=60000 train_batch_size=1024 eval_batch_size=100000 \
     ckpt_interval=10000 eval_init=False eval_interval=20000
 fi
+
+# --- stragglers --------------------------------------------------------------
+run 2400 mw_50d_dis target=mw_50d solver=dis ckpt_interval=20000 $GRID_ARGS
+run 1800 rings_dis_lv target=rings solver=dis $GRID_ARGS
+run 1800 img_dis_lv target=img solver=dis train_steps=10000 \
+  eval_init=False eval_interval=10000
 
 # --- rosenbrock 60k ----------------------------------------------------------
 if [ $(( HARD_STOP - $(now) )) -gt 4200 ]; then
