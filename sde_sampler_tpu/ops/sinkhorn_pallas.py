@@ -136,10 +136,15 @@ def _pad_to(arr, multiple, axis=0, fill=0.0):
 #   * current fix: zero-column padding to d=2 + Precision.HIGHEST on the
 #     in-kernel dot (6-pass f32-exact MXU) — cancellation floor drops to
 #     ~2e-4, within the 1e-3 f64 bar and matching the chunked-XLA
-#     evaluator's own hardware accuracy. Per the round-3 protocol this
-#     variant does NOT launch on the shared chip without the staged
-#     probe first.
-D1_HARDWARE_VALIDATED = False
+#     evaluator's own hardware accuracy.
+#   * 2026-08-19 05:22 UTC: ALL THREE staged probes PASSED on hardware
+#     (results/r5/pallas_d1_probe.log): single_d1 1.4e-4 vs f64, grid_d1
+#     1.9e-4, bench_d1 100k^2 softmin 6.0e-5 vs f64 (XLA path: 6.6e-5 —
+#     pallas is the MORE accurate side) and full 20-iter Sinkhorn 7.0 s
+#     vs 9.5 s chunked XLA (1.36x; the d>=2 9.4x does NOT carry over —
+#     XLA lowers the degenerate d=1 contraction as an efficient f32
+#     broadcast, so there is far less to win). Gate flipped per protocol.
+D1_HARDWARE_VALIDATED = True
 
 
 def pallas_applicable(n: int, m: int, d: int, p: int) -> bool:

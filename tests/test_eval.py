@@ -238,10 +238,11 @@ def test_sinkhorn_backend_auto_selection():
     assert Sinkhorn(backend="pallas")._use_pallas(x, y)
     assert not Sinkhorn(backend="xla")._use_pallas(x, y)
     assert not Sinkhorn(backend="pallas", p=1)._use_pallas(x, y)
-    # d=1 wedged the chip on hardware (round 3, dw_shift eval): even an
-    # explicit pallas request must fall back to the XLA path
+    # d=1 routes to pallas since the 2026-08-19 staged hardware probes
+    # passed (zero-pad + Precision.HIGHEST path; the raw d=1 kernel shape
+    # that wedged the chip in round 3 no longer exists)
     x1, y1 = jnp.zeros((4, 1)), jnp.zeros((5, 1))
-    assert not Sinkhorn(backend="pallas")._use_pallas(x1, y1)
+    assert Sinkhorn(backend="pallas")._use_pallas(x1, y1)
 
 
 def test_pallas_kernels_match_xla_interpret():
@@ -408,6 +409,8 @@ def test_pallas_d1_matches_f64_truth_interpret():
     ref_t = _transport_cost(x, y, u, dual, eps, p=2, row_chunk=64,
                             col_chunk=128)
     np.testing.assert_allclose(float(ref_t), t64, rtol=1e-3)
-    # routing gate stays closed until the staged hardware probe passes
-    assert not sp.D1_HARDWARE_VALIDATED
-    assert not sp.pallas_applicable(n, m, 1, 2)
+    # routing gate: flipped 2026-08-19 after all three staged probes
+    # passed on hardware (results/r5/pallas_d1_probe.log) — d=1 now
+    # routes to pallas on a real TPU like d>=2 does
+    assert sp.D1_HARDWARE_VALIDATED
+    assert sp.pallas_applicable(n, m, 1, 2)
