@@ -311,14 +311,15 @@ if __name__ == "__main__":
 
     parser = argparse.ArgumentParser()
     parser.add_argument(
-        "roots", nargs="*", default=["results/r4", "logs/r4"],
+        "roots", nargs="*",
+        default=["results/r4", "logs/r4", "results/r5", "logs/r5"],
     )
     parser.add_argument(
         "--update-results", action="store_true",
         help="merge fresh runs into the marked grid-table block in RESULTS.md",
     )
     args = parser.parse_args()
-    roots = args.roots or ["results/r4", "logs/r4"]
+    roots = args.roots or ["results/r4", "logs/r4", "results/r5", "logs/r5"]
     if args.update_results:
         update_results(roots, Path(__file__).parents[1] / "RESULTS.md")
     print(table(*roots))
