@@ -117,6 +117,17 @@ class RolloutResult(NamedTuple):
 # trajectory is differentiated through the drift there).
 FAST_PATH_DEFAULT = True
 
+# HBM ceiling for the pregen-noise path in `simulate`: pregen materializes
+# the full (T-1, B, d) Brownian buffer on device, which is a pure perf
+# trade (hoisted PRNG) with no structural need outside the two-phase
+# training loss. At eval scale it can dwarf HBM — cox d=1600 on the
+# 800-step fine grid at eval_batch 100k is a 512 GB buffer, which OOM'd
+# the r5 cox_whitened_60k cell on a 16 GB v5e. Above this ceiling
+# `simulate` falls back to drawing noise inside the scan body (identical
+# estimator, different PRNG stream). 4 GiB keeps every previously
+# validated pregen eval (mw_50d: 3.7 GiB) on its proven path.
+PREGEN_MAX_BYTES = 4 * 1024**3
+
 
 class BaseOCLoss:
     """Shared loss plumbing: filtering, reductions, eval statistics."""
@@ -234,6 +245,20 @@ class BaseOCLoss:
             return "xla"
         return self.sim_backend
 
+    def _pregen_fits(self, ts, x) -> bool:
+        """Trace-time check that the (T-1, B, d) pregen noise buffer fits.
+
+        Shapes are static under jit, so this is plain Python arithmetic at
+        trace time; see PREGEN_MAX_BYTES for the rationale.
+        """
+        nbytes = (
+            (ts.shape[0] - 1)
+            * x.shape[0]
+            * x.shape[-1]
+            * jnp.dtype(x.dtype).itemsize
+        )
+        return nbytes <= PREGEN_MAX_BYTES
+
     def _pregen_scan_inputs(self, key, ts, x, scale_sqrt_dt: bool = True):
         """(noise increments, per-step keys) drawn up-front for the scan.
 
@@ -246,6 +271,11 @@ class BaseOCLoss:
         """
         k_noise, k_steps = jax.random.split(key)
         n = ts.shape[0] - 1
+        assert self._pregen_fits(ts, x), (
+            "pregen noise buffer exceeds PREGEN_MAX_BYTES; simulate() gates "
+            "this — only the two-phase training loss reaches here "
+            f"unconditionally (shape {(n,) + x.shape})"
+        )
         dbs = jax.random.normal(k_noise, (n,) + x.shape, dtype=x.dtype)
         if scale_sqrt_dt:
             dts = (ts[1:] - ts[:-1])[:, None, None]
@@ -479,7 +509,7 @@ class TimeReversalLoss(BaseOCLoss):
             self.inference_ctrl is not None and use_div_estimator is not None
         )
 
-        if self.noise_pregen:
+        if self.noise_pregen and self._pregen_fits(ts, x):
             dbs, step_keys = self._pregen_scan_inputs(key, ts, x)
 
             def body(carry, inp):
@@ -723,7 +753,7 @@ class ReferenceSDELoss(BaseOCLoss):
         )
         zeros = jnp.zeros((x.shape[0], 1), dtype=x.dtype)
 
-        if self.noise_pregen:
+        if self.noise_pregen and self._pregen_fits(ts, x):
             dbs, step_keys = self._pregen_scan_inputs(key, ts, x)
 
             def body(carry, inp):
@@ -937,7 +967,7 @@ class ExponentialIntegratorSDELoss(BaseOCLoss):
         )
         zeros = jnp.zeros((x.shape[0], 1), dtype=x.dtype)
 
-        if self.noise_pregen:
+        if self.noise_pregen and self._pregen_fits(ts, x):
             noises, step_keys = self._pregen_scan_inputs(
                 key, ts, x, scale_sqrt_dt=False
             )

@@ -126,6 +126,59 @@ def test_pregen_step_keys_and_traj_and_grad():
     assert bool(jnp.isfinite(g))
 
 
+def test_pregen_hbm_ceiling_falls_back_to_inloop(monkeypatch):
+    """simulate() must NOT materialize the (T-1, B, d) pregen buffer when
+    it exceeds PREGEN_MAX_BYTES (the r5 cox_whitened_60k eval OOM: 800
+    eval steps x 100k batch x d=1600 = 512 GB on a 16 GB v5e). With the
+    ceiling forced to 0 the in-loop-noise branch must produce the same
+    oracle values."""
+    import sde_sampler_tpu.losses.oc as oc_mod
+
+    prior, target, sde, ctrl_opt = make_stationary_problem()
+    loss = TimeReversalLoss(
+        generative_ctrl=ctrl_opt, sde=sde, method="lv", noise_pregen=True
+    )
+    ts = get_timesteps(0.0, 1.0, steps=1000)
+    x0 = prior.sample(jax.random.PRNGKey(0), (4096,))
+
+    monkeypatch.setattr(oc_mod, "PREGEN_MAX_BYTES", 0)
+    assert not loss._pregen_fits(ts, x0)
+    res = jax.jit(
+        lambda k, x: loss.eval(
+            k, ts, x, target.unnorm_log_prob, prior.log_prob, return_traj=False
+        )
+    )(jax.random.PRNGKey(1), x0)
+    stats = loss.compute_results_arrays(res.rnd, res.rnd_no_ito)
+    assert float(stats["log_norm_const_is"]) == pytest.approx(LOG_Z, abs=0.05)
+    assert float(stats["log_norm_const_lb_ito"]) == pytest.approx(
+        LOG_Z, abs=0.05
+    )
+
+    # The two-phase training loss needs the buffer structurally; over the
+    # ceiling it must fail loudly at trace time, not OOM on device.
+    loss_tp = TimeReversalLoss(
+        generative_ctrl=ctrl_opt, sde=sde, method="lv", two_phase=True
+    )
+    with pytest.raises(AssertionError, match="PREGEN_MAX_BYTES"):
+        loss_tp(
+            jax.random.PRNGKey(2), ts, x0,
+            target.unnorm_log_prob, prior.log_prob,
+        )
+
+
+def test_pregen_fits_arithmetic():
+    prior, target, sde, ctrl_opt = make_stationary_problem()
+    loss = TimeReversalLoss(generative_ctrl=ctrl_opt, sde=sde, method="lv")
+    # cox eval shape: 800 steps x 100k x 1600 f32 = 512 GB >> ceiling
+    ts = jnp.zeros(801)
+    x = jax.ShapeDtypeStruct((100_000, 1600), jnp.float32)
+    assert not loss._pregen_fits(ts, x)
+    # funnel eval shape: 200 x 100k x 10 f32 = 0.8 GB — fits
+    ts_f = jnp.zeros(201)
+    x_f = jax.ShapeDtypeStruct((100_000, 10), jnp.float32)
+    assert loss._pregen_fits(ts_f, x_f)
+
+
 def test_pregen_hutchinson_divergence_runs():
     """inference_ctrl + Hutchinson probes consume the pregen step keys."""
     prior, target, sde, ctrl_opt = make_stationary_problem()
