@@ -145,10 +145,12 @@ if [ ! -f logs/r5/NICE_SMOOTH_VALIDATED ] && \
   say "DONE validate_nice_smooth rc=$?"
 fi
 
-# 3. nice_smooth paper cell (165 ms/step x 60k = 9900 s + compile + eval).
+# 3. nice_smooth paper cell. Measured on-chip 16:09 UTC: 0.190 s/step
+# (not the r3 165 ms estimate) + ~700 s first-step compile of the
+# score-guided flow-gradient graph => 60k x 0.19 + 700 + eval ~= 12.7 ks.
 if [ -f logs/r5/NICE_SMOOTH_VALIDATED ] || [ -f logs/r4/NICE_SMOOTH_VALIDATED ] \
    || [ -f results/r4/NICE_SMOOTH_VALIDATED ]; then
-  run 11400 nice_smooth_dis_60k target=nice_smooth solver=dis \
+  run 13800 nice_smooth_dis_60k target=nice_smooth solver=dis \
     train_steps=60000 train_batch_size=2048 \
     ckpt_interval=10000 eval_init=False eval_interval=60000
 else
